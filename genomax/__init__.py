@@ -1,0 +1,37 @@
+"""genomax — a TPU-native pairwise-alignment scoring engine.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of the
+reference GPU project (Smith-Waterman affine-gap score-only alignment and
+the PairHMM forward algorithm; see /root/reference README.md:2), re-designed
+TPU-first:
+
+  * anti-diagonal wavefront DP vectorized along VPU lanes, pair batches on
+    sublanes, 3-diagonal rotation held in VMEM (Pallas kernels);
+  * ragged inputs packed/bucketed into dense tiles;
+  * multi-chip scaling via ``jax.sharding.Mesh`` + ``shard_map`` data
+    parallelism with all-gathered scores;
+  * a native C++ fp64 golden model + parser for differential testing
+    (mirrors the role of the reference's C binaries).
+
+Layout (SURVEY.md §7):
+    io/       file formats, phred decode, input generator
+    pack/     ragged-length bucketing and dense packing
+    kernels/  Pallas TPU kernels + pure-JAX wavefront + numpy oracle
+    engine/   per-chip executor (bucket dispatch, jit cache)
+    dist/     device mesh, sharded scoring, collectives
+    cli/      drop-in command line (sw / pairhmm / bench / parity)
+    native/   C++ golden model and fast parser (ctypes)
+"""
+
+__version__ = "0.1.0"
+
+from genomax.config import SWConfig, PairHMMConfig, EngineConfig  # noqa: F401
+
+
+def __getattr__(name):
+    # Lazy: keep `import genomax` light (Engine pulls in jax).
+    if name == "Engine":
+        from genomax.engine.executor import Engine
+
+        return Engine
+    raise AttributeError(name)

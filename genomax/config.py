@@ -1,0 +1,73 @@
+"""Configuration dataclasses.
+
+The reference hardcodes all of these as compile-time #defines (scoring at
+smithWaterman/antidiagonalSmithWaterman.c:40-43, phred offset at
+pairHMM/pairHMMmatrix.c:9, block sizes at smithWaterman.cu:465 /
+pairHMM.cu:621, device id at smithWaterman.cu:391). Here they are runtime
+kernel operands / engine knobs, which also fixes the reference's
+ignored-kernel-params wart (smithWaterman.cu:223 vs :470).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+# int32 -inf sentinel with saturating-add semantics, matching the reference's
+# NEGATIVE_INFINITY = INT_MIN + sum_with_infinity()
+# (antidiagonalSmithWaterman.c:38,86-88).
+NEG_INF_I32 = -(2**31)
+
+
+@dataclasses.dataclass(frozen=True)
+class SWConfig:
+    """Smith-Waterman affine-gap (Gotoh) scoring parameters.
+
+    Defaults replicate antidiagonalSmithWaterman.c:40-43. The gap model is
+    g(k) = open + k*extend, so opening a gap costs open+extend = -4
+    (reference report §4.1 eq. (1)).
+    """
+
+    match: int = 1
+    mismatch: int = -1
+    gap_open: int = -3
+    gap_extend: int = -1
+
+
+@dataclasses.dataclass(frozen=True)
+class PairHMMConfig:
+    """PairHMM forward parameters (pairHMMmatrix.c:9,32-55).
+
+    ``log10_init`` is the log10 of the initial Y-row constant. The reference
+    uses DBL_MAX/16 (fp64); the TPU fp32 kernel uses 2**120 internally and
+    folds the difference into the final log-space result, so results agree
+    to fp32 tolerance regardless of this constant.
+    """
+
+    phred_offset: float = 33.0
+    # log10(DBL_MAX/16): the reference's scaling constant in log space.
+    log10_init: float = 307.05063220302535
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Per-chip executor knobs (the TPU analog of the reference's
+    block-size sweep, hiprun.sh:27-39)."""
+
+    # Pairs per Pallas grid step (sublane-dim tile). Multiple of 8 (f32/i32
+    # sublane tiling).
+    pair_tile: int = 8
+    # Lane-dim quantum for padded diagonal buffers. Multiple of 128.
+    lane_quantum: int = 128
+    # Bucket pair-count padding quantum == pair_tile.
+    # Backend: "pallas" (TPU / interpret), "lax" (pure-JAX wavefront).
+    backend: str = "auto"
+    # Re-scale check period for the PairHMM fp32 exponent tracking.
+    rescale_period: int = 16
+
+    def resolve_backend(self) -> str:
+        if self.backend != "auto":
+            return self.backend
+        import jax
+
+        return "pallas" if jax.default_backend() == "tpu" else "lax"

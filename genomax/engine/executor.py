@@ -1,0 +1,232 @@
+"""Per-chip execution engine.
+
+Replaces the reference host mains (smithWaterman.cu:371-499,
+pairHMM.cu:370-654): parse → pack/bucket → dispatch kernels → restore
+output order. Kernel launches are jit-compiled once per (bucket shape,
+pair_tile) and cached by JAX; the Pallas grid pipeline overlaps HBM→VMEM
+streaming with compute, replacing the reference's per-string cudaMemcpy
+loop.
+
+Backends:
+  * "pallas" — the Pallas TPU kernels (or interpreter when interpret=True).
+  * "lax"    — the pure-JAX wavefront twin (CPU/GPU-portable; used in CI).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import numpy as np
+
+from genomax.config import EngineConfig, PairHMMConfig, SWConfig
+from genomax.pack.bucketing import (
+    pack_pairhmm_batches,
+    pack_sw_pairs,
+    unpack_scores,
+)
+
+
+@dataclasses.dataclass
+class RunStats:
+    """Observability: per-run metrics (pack/compile/execute split, cell
+    counts, padding efficiency). The reference only ever reports a single
+    wall-clock 'elapsed' (antidiagonalSmithWaterman.c:351-352)."""
+
+    n_jobs: int = 0
+    dp_cells: int = 0  # true interior DP cells
+    padded_cells: int = 0  # lanes * diagonals actually swept
+    pack_s: float = 0.0
+    exec_s: float = 0.0
+    buckets: int = 0
+
+    @property
+    def gcups(self) -> float:
+        return self.dp_cells / max(self.exec_s, 1e-12) / 1e9
+
+    @property
+    def padding_efficiency(self) -> float:
+        return self.dp_cells / max(self.padded_cells, 1)
+
+    def as_dict(self) -> dict:
+        return {
+            "n_jobs": self.n_jobs,
+            "dp_cells": self.dp_cells,
+            "pack_s": round(self.pack_s, 6),
+            "exec_s": round(self.exec_s, 6),
+            "gcups": round(self.gcups, 3),
+            "padding_efficiency": round(self.padding_efficiency, 4),
+            "buckets": self.buckets,
+        }
+
+
+def _make_dense_jits():
+    import jax as _jax
+
+    from genomax.kernels.wavefront import phmm_forward_dense, sw_forward_dense
+
+    sw = _jax.jit(sw_forward_dense, static_argnames=("n_diags", "cfg"))
+    ph = _jax.jit(phmm_forward_dense, static_argnames=("n_diags", "rescale_period"))
+    return sw, ph
+
+
+_DENSE_JITS = None
+
+
+def _sw_dense_jit(*args, **kw):
+    global _DENSE_JITS
+    if _DENSE_JITS is None:
+        _DENSE_JITS = _make_dense_jits()
+    return _DENSE_JITS[0](*args, **kw)
+
+
+def _phmm_dense_jit(*args, **kw):
+    global _DENSE_JITS
+    if _DENSE_JITS is None:
+        _DENSE_JITS = _make_dense_jits()
+    return _DENSE_JITS[1](*args, **kw)
+
+
+def _meta2(col0: np.ndarray, col1: np.ndarray) -> np.ndarray:
+    m = np.zeros((len(col0), 128), dtype=np.int32)
+    m[:, 0] = col0
+    m[:, 1] = col1
+    return m
+
+
+class Engine:
+    def __init__(
+        self,
+        cfg: EngineConfig = EngineConfig(),
+        sw_cfg: SWConfig = SWConfig(),
+        phmm_cfg: PairHMMConfig = PairHMMConfig(),
+        interpret: bool = False,
+    ):
+        self.cfg = cfg
+        self.sw_cfg = sw_cfg
+        self.phmm_cfg = phmm_cfg
+        self.interpret = interpret
+        self.backend = cfg.resolve_backend()
+        self.last_stats: RunStats | None = None
+
+    # -- Smith-Waterman ----------------------------------------------------
+
+    def _sw_bucket(self, b):
+        import jax.numpy as jnp
+
+        if self.backend == "pallas":
+            from genomax.kernels.sw_pallas import sw_forward_pallas
+
+            return sw_forward_pallas(
+                jnp.asarray(b.sx),
+                jnp.asarray(b.sy),
+                jnp.asarray(_meta2(b.nx, b.ny)),
+                jnp.asarray(b.ndiag_tile),
+                pair_tile=b.pair_tile,
+                cfg=self.sw_cfg,
+                interpret=self.interpret,
+            )
+        from genomax.engine.executor import _sw_dense_jit
+
+        return _sw_dense_jit(
+            jnp.asarray(b.sx),
+            jnp.asarray(b.sy),
+            jnp.asarray(b.nx),
+            jnp.asarray(b.ny),
+            n_diags=b.max_diags,
+            cfg=self.sw_cfg,
+        )
+
+    def sw_scores(self, pairs) -> np.ndarray:
+        """Scores for SWPair jobs, in input order."""
+        stats = RunStats(n_jobs=len(pairs))
+        t0 = time.perf_counter()
+        buckets = pack_sw_pairs(pairs, self.cfg.pair_tile, self.cfg.lane_quantum)
+        stats.pack_s = time.perf_counter() - t0
+        stats.buckets = len(buckets)
+        for b in buckets:
+            stats.dp_cells += int(((b.nx - 1).astype(np.int64) * (b.ny - 1)).sum())
+            stats.padded_cells += int(b.sx.shape[1]) * int(
+                (b.ndiag_tile.astype(np.int64) * b.pair_tile).sum()
+            )
+        t0 = time.perf_counter()
+        results = [np.asarray(self._sw_bucket(b)) for b in buckets]
+        stats.exec_s = time.perf_counter() - t0
+        self.last_stats = stats
+        return unpack_scores(buckets, results, len(pairs), np.int32)
+
+    def sw_scores_file(self, path: str) -> np.ndarray:
+        from genomax.io.formats import parse_sw_file
+
+        return self.sw_scores(parse_sw_file(path))
+
+    # -- PairHMM -----------------------------------------------------------
+
+    def _phmm_bucket(self, b):
+        import jax.numpy as jnp
+
+        if self.backend == "pallas":
+            from genomax.kernels.pairhmm_pallas import pairhmm_forward_pallas
+
+            return pairhmm_forward_pallas(
+                jnp.asarray(b.rchar),
+                jnp.asarray(b.qr),
+                jnp.asarray(b.mmv),
+                jnp.asarray(b.gapm),
+                jnp.asarray(b.qi),
+                jnp.asarray(b.qd),
+                jnp.asarray(b.qg),
+                jnp.asarray(b.hap),
+                jnp.asarray(_meta2(b.rl, b.hl)),
+                jnp.asarray(b.ndiag_tile),
+                pair_tile=b.pair_tile,
+                rescale_period=self.cfg.rescale_period,
+                interpret=self.interpret,
+            )
+        from genomax.engine.executor import _phmm_dense_jit
+
+        return _phmm_dense_jit(
+            jnp.asarray(b.rchar),
+            jnp.asarray(b.qr),
+            jnp.asarray(b.mmv),
+            jnp.asarray(b.gapm),
+            jnp.asarray(b.qi),
+            jnp.asarray(b.qd),
+            jnp.asarray(b.qg),
+            jnp.asarray(b.hap),
+            jnp.asarray(b.rl),
+            jnp.asarray(b.hl),
+            n_diags=b.max_diags,
+            rescale_period=self.cfg.rescale_period,
+        )
+
+    def pairhmm(self, batches) -> np.ndarray:
+        """log10 likelihoods for all read×haplotype pairs across batches,
+        in reference output order (batches in file order, read-major
+        within batch)."""
+        stats = RunStats()
+        t0 = time.perf_counter()
+        buckets, n = pack_pairhmm_batches(
+            batches,
+            self.cfg.pair_tile,
+            self.cfg.lane_quantum,
+            self.phmm_cfg.phred_offset,
+        )
+        stats.pack_s = time.perf_counter() - t0
+        stats.n_jobs = n
+        stats.buckets = len(buckets)
+        for b in buckets:
+            stats.dp_cells += int((b.rl.astype(np.int64) * b.hl).sum())
+            stats.padded_cells += int(b.rchar.shape[1]) * int(
+                (b.ndiag_tile.astype(np.int64) * b.pair_tile).sum()
+            )
+        t0 = time.perf_counter()
+        results = [np.asarray(self._phmm_bucket(b)) for b in buckets]
+        stats.exec_s = time.perf_counter() - t0
+        self.last_stats = stats
+        return unpack_scores(buckets, results, n, np.float32)
+
+    def pairhmm_file(self, path: str) -> np.ndarray:
+        from genomax.io.formats import parse_pairhmm_file
+
+        return self.pairhmm(parse_pairhmm_file(path))

@@ -1,0 +1,74 @@
+"""Synthetic input generators.
+
+Mirrors the capabilities of smithWaterman/generator.py:8-26 (random ATGC
+pairs) but seeded and parameterized (the reference hardcodes MIN/MAX_LEN
+450-500 and 500 alignments, and ignores the CLI args its sweep harness
+hiprun.sh:20 tries to pass).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_ALPHA = np.frombuffer(b"ATGC", dtype=np.uint8)
+
+
+def random_dna(rng: np.random.Generator, length: int) -> bytes:
+    return rng.choice(_ALPHA, size=length).tobytes()
+
+
+def generate_sw_sequences(
+    num_alignments: int = 500,
+    min_len: int = 450,
+    max_len: int = 500,
+    seed: int = 0,
+) -> list[bytes]:
+    """2*num_alignments random sequences (the generator writes pairs as
+    consecutive lines)."""
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(2 * num_alignments):
+        out.append(random_dna(rng, int(rng.integers(min_len, max_len + 1))))
+    return out
+
+
+def write_sw_file(
+    path: str,
+    num_alignments: int = 500,
+    min_len: int = 450,
+    max_len: int = 500,
+    seed: int = 0,
+) -> None:
+    """generator.py-equivalent file: header counts ALL written sequences so
+    every pair is actually scored (the reference generator's header N with
+    2N lines makes the C binaries skip half the file)."""
+    from genomax.io.formats import write_sw_input
+
+    seqs = generate_sw_sequences(num_alignments, min_len, max_len, seed)
+    write_sw_input(path, seqs)
+
+
+def generate_pairhmm_batch(
+    num_reads: int,
+    num_haps: int,
+    read_len: int,
+    hap_len: int,
+    seed: int = 0,
+):
+    """A synthetic PairHMM batch with plausible phred ranges."""
+    from genomax.io.formats import PairHMMBatch, PairHMMRead
+
+    rng = np.random.default_rng(seed)
+    reads = []
+    for _ in range(num_reads):
+        reads.append(
+            PairHMMRead(
+                bases=random_dna(rng, read_len),
+                base_q=(rng.integers(20, 41, read_len) + 33).astype(np.uint8).tobytes(),
+                ins_q=(rng.integers(30, 46, read_len) + 33).astype(np.uint8).tobytes(),
+                del_q=(rng.integers(30, 46, read_len) + 33).astype(np.uint8).tobytes(),
+                gcp_q=(np.full(read_len, 10) + 33).astype(np.uint8).tobytes(),
+            )
+        )
+    haps = [random_dna(rng, hap_len) for _ in range(num_haps)]
+    return PairHMMBatch(reads=reads, haplotypes=haps)

@@ -1,0 +1,94 @@
+"""Differential tests: the shared wavefront step math (lax backend) vs the
+independent full-matrix numpy oracle, on random ragged inputs — the
+automated version of the reference's matrix-vs-antidiagonal differential
+testing (README.md:2, SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+from genomax.config import EngineConfig
+from genomax.engine.executor import Engine
+from genomax.io.formats import SWPair
+from genomax.io.generator import generate_pairhmm_batch
+from genomax.kernels import oracle
+
+
+@pytest.fixture(scope="module")
+def eng():
+    return Engine(EngineConfig(backend="lax", pair_tile=8))
+
+
+def _random_pairs(rng, n, lo, hi, alphabet=b"ATGC", newline=True):
+    out = []
+    for _ in range(n):
+        a = rng.choice(list(alphabet), size=int(rng.integers(lo, hi))).astype(np.uint8)
+        bseq = rng.choice(list(alphabet), size=int(rng.integers(lo, hi))).astype(np.uint8)
+        a, bseq = a.tobytes(), bseq.tobytes()
+        if newline:
+            a += b"\n"
+            bseq += b"\n"
+        if len(a) > len(bseq):
+            a, bseq = bseq, a
+        out.append(SWPair(sx=a, sy=bseq))
+    return out
+
+
+def test_sw_random_vs_oracle(eng):
+    rng = np.random.default_rng(7)
+    pairs = _random_pairs(rng, 24, 1, 40)
+    got = eng.sw_scores(pairs)
+    want = oracle.sw_scores_pairs(pairs)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sw_ragged_mixed_lengths(eng):
+    rng = np.random.default_rng(8)
+    # spans two lane buckets; exercises per-pair masking inside one tile
+    pairs = _random_pairs(rng, 10, 1, 30) + _random_pairs(rng, 6, 120, 180)
+    got = eng.sw_scores(pairs)
+    want = oracle.sw_scores_pairs(pairs)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sw_empty_and_single(eng):
+    pairs = [SWPair(sx=b"", sy=b""), SWPair(sx=b"A", sy=b"A"), SWPair(sx=b"A", sy=b"T")]
+    got = eng.sw_scores(pairs)
+    np.testing.assert_array_equal(got, [0, 1, 0])
+
+
+def test_pairhmm_random_vs_oracle(eng):
+    batch = generate_pairhmm_batch(3, 2, read_len=25, hap_len=33, seed=3)
+    got = eng.pairhmm([batch])
+    want = oracle.pairhmm_batch_log10(batch)
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_pairhmm_n_bases_match_everything(eng):
+    batch = generate_pairhmm_batch(1, 1, read_len=12, hap_len=16, seed=5)
+    batch.reads[0].bases = b"N" * 12
+    got = eng.pairhmm([batch])
+    want = oracle.pairhmm_batch_log10(batch)
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_pairhmm_multi_batch_order(eng):
+    b1 = generate_pairhmm_batch(2, 2, read_len=11, hap_len=14, seed=11)
+    b2 = generate_pairhmm_batch(1, 3, read_len=17, hap_len=9, seed=12)
+    got = eng.pairhmm([b1, b2])
+    want = np.concatenate(
+        [oracle.pairhmm_batch_log10(b1), oracle.pairhmm_batch_log10(b2)]
+    )
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_pairhmm_deep_decay_rescale(eng):
+    # Force heavy mismatch decay to exercise the exponent-rescale path:
+    # all-mismatch read with strong base quality => per-row attenuation
+    # ~1e-4, total ~1e-4*rl, well past fp32 range without rescaling.
+    batch = generate_pairhmm_batch(1, 1, read_len=60, hap_len=70, seed=21)
+    batch.reads[0].bases = b"A" * 60
+    batch.haplotypes[0] = b"C" * 70
+    got = eng.pairhmm([batch])
+    want = oracle.pairhmm_batch_log10(batch)
+    assert want[0] < -100  # proves the case is out of unscaled fp32 range
+    np.testing.assert_allclose(got, want, atol=5e-3)
