@@ -1,0 +1,99 @@
+"""Benchmark sweep — the TPU analogue of the reference's hiprun.sh
+block-size sweep (smithWaterman/hiprun.sh:18-39: lengths {64..1024} ×
+block sizes {32..1024}, 25,000 alignments per point; results charted in
+project_presentation.pptx slides 10-14, tabulated in BASELINE.md)."""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def _force(x):
+    # On tunneled platforms block_until_ready can return early; a host
+    # copy is the only reliable fence.
+    return np.asarray(x)
+
+
+def bench_sw_point(length: int, num_alignments: int, pair_tile: int, backend: str,
+                   trials: int = 3, seed: int = 0):
+    """One sweep point: fixed-length random pairs, kernel-only timing
+    (matches the reference's kernel-only elapsed, hipvers.cpp:475-483)."""
+    import jax.numpy as jnp
+
+    from genomax.config import EngineConfig
+    from genomax.engine.executor import Engine, _meta2
+    from genomax.io.formats import SWPair
+    from genomax.io.generator import random_dna
+    from genomax.pack.bucketing import pack_sw_pairs
+
+    rng = np.random.default_rng(seed)
+    pairs = []
+    for _ in range(num_alignments):
+        a = random_dna(rng, length) + b"\n"
+        b = random_dna(rng, length) + b"\n"
+        pairs.append(SWPair(sx=a, sy=b))
+
+    eng = Engine(EngineConfig(pair_tile=pair_tile, backend=backend))
+    buckets = pack_sw_pairs(pairs, pair_tile)
+    # Pre-place on device; time kernels only.
+    runs = []
+    for b in buckets:
+        if eng.backend == "pallas":
+            from genomax.kernels.sw_pallas import sw_forward_pallas
+
+            args = (
+                jnp.asarray(b.sx),
+                jnp.asarray(b.sy),
+                jnp.asarray(_meta2(b.nx, b.ny)),
+                jnp.asarray(b.ndiag_tile),
+            )
+            runs.append(lambda a=args: sw_forward_pallas(*a, pair_tile=pair_tile))
+        else:
+            from genomax.kernels.wavefront import sw_forward_dense
+
+            from genomax.engine.executor import _sw_dense_jit
+
+            args = (
+                jnp.asarray(b.sx),
+                jnp.asarray(b.sy),
+                jnp.asarray(b.nx),
+                jnp.asarray(b.ny),
+            )
+            nd = b.max_diags
+            runs.append(lambda a=args, nd=nd: _sw_dense_jit(*a, n_diags=nd))
+
+    _ = [_force(r()) for r in runs]  # compile
+    best = float("inf")
+    for _t in range(trials):
+        t0 = time.perf_counter()
+        outs = [r() for r in runs]
+        for o in outs:
+            _force(o)
+        best = min(best, time.perf_counter() - t0)
+    cells = num_alignments * (length + 1) ** 2  # incl. '\n' lane, like the C
+    return {
+        "length": length,
+        "pair_tile": pair_tile,
+        "elapsed_ms": round(best * 1e3, 3),
+        "gcups": round(cells / best / 1e9, 3),
+    }
+
+
+def run_sweep(lengths, pair_tiles, num_alignments, backend, json_out=None):
+    rows = []
+    print(f"SW sweep: {num_alignments} alignments per point, backend={backend}")
+    print(f"{'LEN':>6} " + " ".join(f"pt={p:>4}" for p in pair_tiles) + "   (elapsed ms / GCUPS)")
+    for L in lengths:
+        cells = []
+        for p in pair_tiles:
+            r = bench_sw_point(L, num_alignments, p, backend)
+            rows.append(r)
+            cells.append(f"{r['elapsed_ms']:>8.1f}/{r['gcups']:<6.1f}")
+        print(f"{L:>6} " + " ".join(cells))
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(rows, f, indent=1)
+    return rows

@@ -1,0 +1,169 @@
+"""Command-line interface — drop-in analogue of the reference binaries.
+
+Subcommands and their reference counterparts:
+  sw        — antidiagonalSmithWaterman / smithWaterman.cu / hipvers:
+              reads the pairs file, prints "Score: %d" per pair and
+              "elapsed %f" (antidiagonalSmithWaterman.c:348-352); with
+              --output appends scores to a file like hipvers.cpp:486-495.
+  pairhmm   — pairHMMmatrix/antidiagsPairHMM/pairHMM.exe: <input> <output>
+              with one "%f" log10-likelihood per line
+              (pairHMMmatrix.c:115-116,258).
+  generate  — generator.py, seeded and parameterized (the reference's
+              committed copy ignores its CLI args, hiprun.sh:20).
+  bench     — the hiprun.sh block-size sweep analogue: length buckets ×
+              engine configs, GCUPS table.
+  parity    — compiles the reference C sources (read-only, from
+              /root/reference or --reference-dir) and diffs outputs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _build_engine(args):
+    from genomax.config import EngineConfig, SWConfig
+    from genomax.engine.executor import Engine
+
+    cfg = EngineConfig(
+        pair_tile=args.pair_tile,
+        backend=args.backend,
+    )
+    sw_cfg = SWConfig(
+        match=args.match,
+        mismatch=args.mismatch,
+        gap_open=args.gap_open,
+        gap_extend=args.gap_extend,
+    )
+    return Engine(cfg, sw_cfg=sw_cfg, interpret=args.interpret)
+
+
+def _add_engine_args(p):
+    p.add_argument("--backend", default="auto", choices=["auto", "pallas", "lax"])
+    p.add_argument("--pair-tile", type=int, default=8)
+    p.add_argument("--interpret", action="store_true", help="Pallas interpreter mode")
+    p.add_argument("--match", type=int, default=1)
+    p.add_argument("--mismatch", type=int, default=-1)
+    p.add_argument("--gap-open", type=int, default=-3)
+    p.add_argument("--gap-extend", type=int, default=-1)
+    p.add_argument("--stats", action="store_true", help="print JSON run stats to stderr")
+
+
+def cmd_sw(args) -> int:
+    from genomax.io.formats import parse_sw_file
+
+    eng = _build_engine(args)
+    pairs = parse_sw_file(args.input)
+    t0 = time.time()
+    scores = eng.sw_scores(pairs)
+    elapsed = time.time() - t0
+    lines = "".join("Score: %d\n" % s for s in scores)
+    if args.output:
+        with open(args.output, "a") as f:
+            f.write(lines)
+    else:
+        sys.stdout.write(lines)
+    print("elapsed %f" % elapsed)
+    if args.stats:
+        print(json.dumps(eng.last_stats.as_dict()), file=sys.stderr)
+    return 0
+
+
+def cmd_pairhmm(args) -> int:
+    from genomax.io.formats import parse_pairhmm_file, write_pairhmm_output
+
+    eng = _build_engine(args)
+    batches = parse_pairhmm_file(args.input)
+    t0 = time.time()
+    values = eng.pairhmm(batches)
+    elapsed = time.time() - t0
+    write_pairhmm_output(args.output, values)
+    print("elapsed %f" % elapsed)
+    if args.stats:
+        print(json.dumps(eng.last_stats.as_dict()), file=sys.stderr)
+    return 0
+
+
+def cmd_generate(args) -> int:
+    from genomax.io.generator import write_sw_file
+
+    write_sw_file(
+        args.output,
+        num_alignments=args.num,
+        min_len=args.min_len,
+        max_len=args.max_len,
+        seed=args.seed,
+    )
+    print(f"wrote {2 * args.num} sequences ({args.num} alignments) to {args.output}")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    from genomax.bench.sweep import run_sweep
+
+    run_sweep(
+        lengths=[int(x) for x in args.lengths.split(",")],
+        pair_tiles=[int(x) for x in args.pair_tiles.split(",")],
+        num_alignments=args.num,
+        backend=args.backend,
+        json_out=args.json,
+    )
+    return 0
+
+
+def cmd_parity(args) -> int:
+    from genomax.testing.parity import run_parity
+
+    return run_parity(reference_dir=args.reference_dir, backend=args.backend)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="genomax", description="TPU-native pairwise alignment scoring engine"
+    )
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("sw", help="Smith-Waterman affine-gap scores for a pairs file")
+    p.add_argument("input")
+    p.add_argument("--output", help="append 'Score: N' lines to this file")
+    _add_engine_args(p)
+    p.set_defaults(fn=cmd_sw)
+
+    p = sub.add_parser("pairhmm", help="PairHMM forward log10 likelihoods")
+    p.add_argument("input")
+    p.add_argument("output")
+    _add_engine_args(p)
+    p.set_defaults(fn=cmd_pairhmm)
+
+    p = sub.add_parser("generate", help="random ATGC SW input file")
+    p.add_argument("output")
+    p.add_argument("--num", type=int, default=500)
+    p.add_argument("--min-len", type=int, default=450)
+    p.add_argument("--max-len", type=int, default=500)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_generate)
+
+    p = sub.add_parser("bench", help="length x config GCUPS sweep")
+    p.add_argument("--lengths", default="64,128,256,512,1024")
+    p.add_argument("--pair-tiles", default="8,32,128")
+    p.add_argument("--num", type=int, default=25000, help="alignments per point")
+    p.add_argument("--backend", default="auto")
+    p.add_argument("--json", help="write results as JSON to this path")
+    p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("parity", help="diff against the reference C binaries")
+    p.add_argument("--reference-dir", default="/root/reference")
+    p.add_argument("--backend", default="auto")
+    p.set_defaults(fn=cmd_parity)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

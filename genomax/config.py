@@ -62,8 +62,14 @@ class EngineConfig:
     # Bucket pair-count padding quantum == pair_tile.
     # Backend: "pallas" (TPU / interpret), "lax" (pure-JAX wavefront).
     backend: str = "auto"
-    # Re-scale check period for the PairHMM fp32 exponent tracking.
-    rescale_period: int = 16
+    # Re-scale check period for the PairHMM fp32 exponent tracking (== the
+    # kernel's unrolled block length).
+    rescale_period: int = 8
+    # PairHMM results below this log10 threshold (or non-finite) are
+    # recomputed through the native fp64 golden model — the fp32 TPU fast
+    # path covers the overwhelmingly common case, exactly like GATK/GKL's
+    # fp32 AVX path with fp64 fallback. None disables the fallback.
+    phmm_fallback_threshold: float | None = -45.0
 
     def resolve_backend(self) -> str:
         if self.backend != "auto":

@@ -39,6 +39,7 @@ class RunStats:
     pack_s: float = 0.0
     exec_s: float = 0.0
     buckets: int = 0
+    fallback_jobs: int = 0  # PairHMM pairs recomputed in native fp64
 
     @property
     def gcups(self) -> float:
@@ -57,6 +58,7 @@ class RunStats:
             "gcups": round(self.gcups, 3),
             "padding_efficiency": round(self.padding_efficiency, 4),
             "buckets": self.buckets,
+            "fallback_jobs": self.fallback_jobs,
         }
 
 
@@ -223,8 +225,40 @@ class Engine:
         t0 = time.perf_counter()
         results = [np.asarray(self._phmm_bucket(b)) for b in buckets]
         stats.exec_s = time.perf_counter() - t0
+        out = unpack_scores(buckets, results, n, np.float32)
+        out = self._phmm_fallback(batches, out, stats)
         self.last_stats = stats
-        return unpack_scores(buckets, results, n, np.float32)
+        return out
+
+    def _phmm_fallback(self, batches, out, stats):
+        """Recompute deep-negative / non-finite results in native fp64
+        (the fp32 fast path's design range is bounded by the per-diagonal
+        dynamic span; see kernels/wavefront.py). Mirrors GATK/GKL's
+        fp32-with-fp64-fallback production structure."""
+        thr = self.cfg.phmm_fallback_threshold
+        if thr is None:
+            return out
+        mask = ~np.isfinite(out) | (out < thr)
+        if not mask.any():
+            return out
+        from genomax import native
+        from genomax.io.formats import PairHMMBatch
+
+        if not native.available():
+            return out
+        jobs = []
+        idx = 0
+        for b in batches:
+            for rd in b.reads:
+                for hp in b.haplotypes:
+                    if mask[idx]:
+                        jobs.append(PairHMMBatch(reads=[rd], haplotypes=[hp]))
+                    idx += 1
+        exact = native.pairhmm_native(jobs, self.phmm_cfg.phred_offset)
+        out = out.astype(np.float64)
+        out[mask] = exact
+        stats.fallback_jobs = int(mask.sum())
+        return out
 
     def pairhmm_file(self, path: str) -> np.ndarray:
         from genomax.io.formats import parse_pairhmm_file

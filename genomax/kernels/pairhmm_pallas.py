@@ -18,7 +18,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from genomax.kernels.wavefront import phmm_finalize, phmm_make_state, phmm_step
+from genomax.kernels.wavefront import (
+    phmm_finalize,
+    phmm_make_state,
+    phmm_rescale,
+    phmm_step,
+    wavefront_sweep,
+)
 
 
 def _kernel(
@@ -35,7 +41,7 @@ def _kernel(
     out_ref,
     zscr,
     *,
-    rescale_period: int,
+    unroll: int,
     interpret: bool,
 ):
     t = pl.program_id(0)
@@ -74,17 +80,22 @@ def _kernel(
             hl=hl,
             ii=ii,
             roll1=roll1,
-            rescale_period=rescale_period,
         )
 
+    def block(state, d):
+        return phmm_rescale(state, d, rl=rl, hl=hl, ii=ii)
+
     zscr[:] = jnp.zeros((b, nxp), jnp.float32)
-    state = jax.lax.fori_loop(0, nd, body, phmm_make_state(hap_ref[:], zscr[:]))
+    state = wavefront_sweep(
+        nd, phmm_make_state(hap_ref[:], zscr[:]), body,
+        unroll=unroll, block_fn=block,
+    )
     res = phmm_finalize(state).reshape(b, 1)
     out_ref[:] = jnp.broadcast_to(res, out_ref.shape)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("pair_tile", "rescale_period", "interpret")
+    jax.jit, static_argnames=("pair_tile", "rescale_period", "unroll", "interpret")
 )
 def pairhmm_forward_pallas(
     rchar: jax.Array,  # (NP, NX) int32 lane-fixed read codes
@@ -98,8 +109,10 @@ def pairhmm_forward_pallas(
     meta: jax.Array,  # (NP, 128) int32: lane0=read_len, lane1=hap_len
     ndiag_tile: jax.Array,  # (NP // pair_tile,) int32
     pair_tile: int = 8,
-    rescale_period: int = 16,
-    interpret: bool = False,
+    rescale_period: int = 8,  # kept for API symmetry; the rescale runs
+    unroll: int = 8,          # once per unrolled block, i.e. every
+    interpret: bool = False,  # `unroll` diagonals
+
 ) -> jax.Array:
     """Returns (NP,) f32 log10 likelihoods (reference-constant-relative)."""
     n_pairs, nxp = rchar.shape
@@ -136,9 +149,7 @@ def pairhmm_forward_pallas(
     )
 
     out = pl.pallas_call(
-        functools.partial(
-            _kernel, rescale_period=rescale_period, interpret=interpret
-        ),
+        functools.partial(_kernel, unroll=unroll, interpret=interpret),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pairs, 128), jnp.float32),
         compiler_params=pltpu.CompilerParams(

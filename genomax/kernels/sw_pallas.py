@@ -22,10 +22,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from genomax.config import SWConfig
-from genomax.kernels.wavefront import sw_make_state, sw_step
+from genomax.kernels.wavefront import sw_make_state, sw_step, wavefront_sweep
 
 
-def _kernel(nd_ref, sx_ref, sy_ref, meta_ref, out_ref, zscr, *, cfg: SWConfig, interpret: bool):
+def _kernel(nd_ref, sx_ref, sy_ref, meta_ref, out_ref, zscr, *, cfg: SWConfig, unroll: int, interpret: bool):
     t = pl.program_id(0)
     nd = nd_ref[t]
     b, nxp = sx_ref.shape
@@ -49,13 +49,15 @@ def _kernel(nd_ref, sx_ref, sy_ref, meta_ref, out_ref, zscr, *, cfg: SWConfig, i
     # Zero template round-tripped through VMEM scratch (layout note in
     # sw_make_state).
     zscr[:] = jnp.zeros((b, nxp), jnp.int32)
-    state = jax.lax.fori_loop(0, nd, body, sw_make_state(sy_ref[:], zscr[:]))
+    state = wavefront_sweep(
+        nd, sw_make_state(sy_ref[:], zscr[:]), body, unroll=unroll
+    )
     score = jnp.max(state[5], axis=1, keepdims=True)
     out_ref[:] = jnp.broadcast_to(score, out_ref.shape)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("pair_tile", "cfg", "interpret")
+    jax.jit, static_argnames=("pair_tile", "cfg", "unroll", "interpret")
 )
 def sw_forward_pallas(
     sx: jax.Array,  # (NP, NX) int32, lane-fixed (lane j = sx[j-1])
@@ -64,6 +66,7 @@ def sw_forward_pallas(
     ndiag_tile: jax.Array,  # (NP // pair_tile,) int32
     pair_tile: int = 8,
     cfg: SWConfig = SWConfig(),
+    unroll: int = 8,
     interpret: bool = False,
 ) -> jax.Array:
     """Returns (NP,) int32 scores."""
@@ -96,7 +99,7 @@ def sw_forward_pallas(
     )
 
     out = pl.pallas_call(
-        functools.partial(_kernel, cfg=cfg, interpret=interpret),
+        functools.partial(_kernel, cfg=cfg, unroll=unroll, interpret=interpret),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pairs, 128), jnp.int32),
         compiler_params=pltpu.CompilerParams(

@@ -60,6 +60,29 @@ def _sat_add(v, c: int):
     return jnp.where(v == NEG_INF_I32, NEG_INF_I32, v + c)
 
 
+def wavefront_sweep(nd, state, step_fn, unroll: int, block_fn=None):
+    """Run the wavefront: ceil(nd/unroll) outer iterations, each tracing
+    ``unroll`` python-unrolled steps (static inner trip count → no
+    per-diagonal loop overhead on the TPU scalar core). ``block_fn``
+    (e.g. the PairHMM rescale) runs once per block, keeping lax.cond out
+    of the hot path entirely.
+
+    May run up to unroll-1 diagonals past ``nd``; that is harmless by the
+    masking invariants (cells past a pair's last diagonal never pass the
+    result masks, and garbage lanes never feed valid cells)."""
+
+    def outer(c, st):
+        base = c * unroll
+        for t in range(unroll):
+            st = step_fn(base + t, st)
+        if block_fn is not None:
+            st = block_fn(st, base + unroll - 1)
+        return st
+
+    n_blocks = (nd + unroll - 1) // unroll
+    return jax.lax.fori_loop(0, n_blocks, outer, state)
+
+
 # ---------------------------------------------------------------------------
 # Smith-Waterman
 # ---------------------------------------------------------------------------
@@ -150,7 +173,7 @@ def sw_forward_dense(sx, sy_rev, nx, ny, n_diags: int, cfg: SWConfig = SWConfig(
         )
 
     z = jnp.zeros((b, nxp), jnp.int32)
-    state = jax.lax.fori_loop(0, n_diags, body, sw_make_state(sy_rev, z))
+    state = wavefront_sweep(n_diags, sw_make_state(sy_rev, z), body, unroll=8)
     return jnp.max(state[5], axis=1)
 
 
@@ -184,7 +207,6 @@ def phmm_step(
     hl,
     ii,
     roll1,
-    rescale_period: int,
 ):
     """Compute anti-diagonal d of M/X/Y (pairHMMmatrix.c:49-55).
 
@@ -243,35 +265,38 @@ def phmm_step(
     lmask = (ii == rl) & (jv >= 1) & (jv <= hl)
     acc = acc + jnp.where(lmask, (Mn + Xn) * cmul, 0.0)
 
-    # Periodic per-pair exponent rescale (fp32 range management).
-    def do_rescale(args):
-        Mn, Xn, Yn, M1, X1, Y1, acc, cmul, acc_log = args
-        vmask = (ii <= rl) & (jv >= 0) & (jv <= hl)
-        live = jnp.where(vmask, jnp.maximum(jnp.maximum(Mn, Xn), Yn), 0.0)
-        peak = jnp.max(live, axis=1, keepdims=True)
-        need = (peak > 0.0) & (peak < PHMM_RESCALE_TRIGGER)
-        f = jnp.where(need, PHMM_RESCALE_FACTOR, 1.0)
-        # The accumulator follows the buffer scale only while small.
-        asum = jnp.max(acc, axis=1, keepdims=True)
-        follow = need & (asum < PHMM_RESCALE_TRIGGER)
-        return (
-            Mn * f,
-            Xn * f,
-            Yn * f,
-            M1 * f,
-            X1 * f,
-            Y1 * f,
-            acc * jnp.where(follow, PHMM_RESCALE_FACTOR, 1.0),
-            cmul * jnp.where(need & ~follow, 1.0 / PHMM_RESCALE_FACTOR, 1.0),
-            acc_log - jnp.where(follow, PHMM_RESCALE_LOG10, 0.0),
-        )
-
-    args = (Mn, Xn, Yn, M1, X1, Y1, acc, cmul, acc_log)
-    Mn, Xn, Yn, M1, X1, Y1, acc, cmul, acc_log = jax.lax.cond(
-        d % rescale_period == rescale_period - 1, do_rescale, lambda a: a, args
-    )
-
     return (Mn, Xn, Yn, M1, X1, Y1, hb, acc, cmul, acc_log)
+
+
+def phmm_rescale(state, d, *, rl, hl, ii):
+    """Per-pair exponent rescale (fp32 range management), applied once per
+    rescale period — hoisted out of the per-diagonal step so the hot loop
+    carries no lax.cond. ``d`` is the index of the most recent diagonal.
+
+    Unconditional in dataflow terms: rows that don't need rescaling are
+    multiplied by 1.0 (no branching on TPU vectors)."""
+    M1, X1, Y1, M2, X2, Y2, hb, acc, cmul, acc_log = state
+    jv = d - ii
+    vmask = (ii <= rl) & (jv >= 0) & (jv <= hl)
+    live = jnp.where(vmask, jnp.maximum(jnp.maximum(M1, X1), Y1), 0.0)
+    peak = jnp.max(live, axis=1, keepdims=True)
+    need = (peak > 0.0) & (peak < PHMM_RESCALE_TRIGGER)
+    f = jnp.where(need, PHMM_RESCALE_FACTOR, 1.0)
+    # The accumulator follows the buffer scale only while small.
+    asum = jnp.max(acc, axis=1, keepdims=True)
+    follow = need & (asum < PHMM_RESCALE_TRIGGER)
+    return (
+        M1 * f,
+        X1 * f,
+        Y1 * f,
+        M2 * f,
+        X2 * f,
+        Y2 * f,
+        hb,
+        acc * jnp.where(follow, PHMM_RESCALE_FACTOR, 1.0),
+        cmul * jnp.where(need & ~follow, 1.0 / PHMM_RESCALE_FACTOR, 1.0),
+        acc_log - jnp.where(follow, PHMM_RESCALE_LOG10, 0.0),
+    )
 
 
 def phmm_finalize(state):
@@ -324,9 +349,14 @@ def phmm_forward_dense(
             hl=hl2,
             ii=ii,
             roll1=roll1,
-            rescale_period=rescale_period,
         )
 
+    def block(state, d):
+        return phmm_rescale(state, d, rl=rl2, hl=hl2, ii=ii)
+
     z = jnp.zeros((b, nxp), jnp.float32)
-    state = jax.lax.fori_loop(0, n_diags, body, phmm_make_state(hap_rev, z))
+    state = wavefront_sweep(
+        n_diags, phmm_make_state(hap_rev, z), body, unroll=rescale_period,
+        block_fn=block,
+    )
     return phmm_finalize(state)

@@ -29,6 +29,17 @@ def _round_up(x: int, q: int) -> int:
     return max(q, ((x + q - 1) // q) * q)
 
 
+def _quantize_rows(n: int, pair_tile: int) -> int:
+    """Pad a bucket's pair count to pair_tile * 2**k so the number of
+    distinct compiled batch shapes stays bounded (each distinct row count
+    is a separate XLA/Mosaic compilation)."""
+    t = _round_up(n, pair_tile) // pair_tile
+    p = 1
+    while p < t:
+        p *= 2
+    return p * pair_tile
+
+
 @dataclasses.dataclass
 class SWPacked:
     """One shape-bucket of SW jobs, densely packed.
@@ -111,7 +122,7 @@ def pack_sw_pairs(
         ndiags = (sx_len[idx] + sy_len[idx] + 1).astype(np.int64)
         order = np.argsort(ndiags, kind="stable")
         idx = idx[order]
-        np_pad = _round_up(len(idx), pair_tile)
+        np_pad = _quantize_rows(len(idx), pair_tile)
         ndp = _round_up(int(ndiags.max()), lane_quantum)
 
         sx = np.zeros((np_pad, nxp), dtype=np.int32)
@@ -198,7 +209,7 @@ def pack_pairhmm_batches(
         idx = np.nonzero((nxq == nxp) & (nyq == nyp))[0]
         order = np.argsort(rlen[idx] + hlen[idx], kind="stable")
         idx = idx[order]
-        np_pad = _round_up(len(idx), pair_tile)
+        np_pad = _quantize_rows(len(idx), pair_tile)
         ndp = _round_up(int((rlen[idx] + hlen[idx] + 1).max()), lane_quantum)
 
         rchar = np.zeros((np_pad, nxp), dtype=np.int32)

@@ -1,0 +1,87 @@
+"""Multi-chip sharding tests on the 8-virtual-device CPU mesh: the
+sharded (shard_map + all_gather) path must equal the single-device path.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from genomax.dist.mesh import make_mesh
+from genomax.dist.sharded import pairhmm_forward_sharded, sw_forward_sharded
+from genomax.engine.executor import _meta2
+from genomax.io.formats import SWPair
+from genomax.io.generator import generate_pairhmm_batch
+from genomax.kernels import oracle
+from genomax.pack.bucketing import pack_pairhmm_batches, pack_sw_pairs
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    try:
+        cpus = jax.devices("cpu")
+    except RuntimeError:
+        cpus = []
+    if len(cpus) < 8:
+        pytest.skip("needs 8 virtual CPU devices (see conftest XLA_FLAGS)")
+    return make_mesh(8, devices=cpus)
+
+
+def test_sw_sharded_matches_oracle(mesh):
+    rng = np.random.default_rng(42)
+    pairs = []
+    for _ in range(64):
+        a = rng.choice(list(b"ATGC"), size=int(rng.integers(3, 40))).astype(np.uint8).tobytes()
+        b = rng.choice(list(b"ATGC"), size=int(rng.integers(3, 40))).astype(np.uint8).tobytes()
+        if len(a) > len(b):
+            a, b = b, a
+        pairs.append(SWPair(sx=a, sy=b))
+    buckets = pack_sw_pairs(pairs, pair_tile=8)
+    assert len(buckets) == 1
+    bk = buckets[0]
+    got_packed = sw_forward_sharded(
+        jnp.asarray(bk.sx),
+        jnp.asarray(bk.sy),
+        jnp.asarray(_meta2(bk.nx, bk.ny)),
+        jnp.asarray(bk.nx),
+        jnp.asarray(bk.ny),
+        jnp.asarray(bk.ndiag_tile),
+        mesh=mesh,
+        pair_tile=8,
+        n_diags=bk.max_diags,
+        backend="lax",
+    )
+    got = np.zeros(len(pairs), np.int32)
+    got[bk.perm] = np.asarray(got_packed)[: bk.n_valid]
+    want = oracle.sw_scores_pairs(pairs)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pairhmm_sharded_matches_oracle(mesh):
+    batch = generate_pairhmm_batch(8, 8, read_len=19, hap_len=23, seed=9)
+    buckets, n = pack_pairhmm_batches([batch], pair_tile=8)
+    assert len(buckets) == 1
+    bk = buckets[0]
+    got_packed = pairhmm_forward_sharded(
+        jnp.asarray(bk.rchar),
+        jnp.asarray(bk.qr),
+        jnp.asarray(bk.mmv),
+        jnp.asarray(bk.gapm),
+        jnp.asarray(bk.qi),
+        jnp.asarray(bk.qd),
+        jnp.asarray(bk.qg),
+        jnp.asarray(bk.hap),
+        jnp.asarray(_meta2(bk.rl, bk.hl)),
+        jnp.asarray(bk.rl),
+        jnp.asarray(bk.hl),
+        jnp.asarray(bk.ndiag_tile),
+        mesh=mesh,
+        pair_tile=8,
+        n_diags=bk.max_diags,
+        backend="lax",
+    )
+    got = np.zeros(n, np.float32)
+    got[bk.perm] = np.asarray(got_packed)[: bk.n_valid]
+    want = oracle.pairhmm_batch_log10(batch)
+    np.testing.assert_allclose(got, want, atol=2e-4)

@@ -1,0 +1,47 @@
+"""Native C++ golden library: build + differential tests vs the python
+oracle and the vendored reference outputs."""
+
+import os
+
+import numpy as np
+import pytest
+
+from genomax import native
+from genomax.io.formats import parse_pairhmm_file, parse_sw_file
+
+G = os.path.join(os.path.dirname(__file__), "golden")
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="no C++ toolchain for the native golden lib"
+)
+
+
+def test_native_sw_matches_reference_outputs():
+    for name in ("sw_quirks", "sw_small", "sw_medium"):
+        pairs = parse_sw_file(os.path.join(G, f"{name}.in"))
+        got = native.sw_scores_native(pairs)
+        want = np.array(
+            [int(l.split()[1]) for l in open(os.path.join(G, f"{name}.golden.out"))]
+        )
+        np.testing.assert_array_equal(got, want)
+
+
+def test_native_pairhmm_matches_reference_outputs():
+    v = native.pairhmm_native(parse_pairhmm_file(os.path.join(G, "test.in")))
+    want = float(open(os.path.join(G, "test.out")).read())
+    assert abs(v[0] - want) < 5e-7
+
+    v = native.pairhmm_native(parse_pairhmm_file(os.path.join(G, "10s.in")))
+    want = np.array([float(l) for l in open(os.path.join(G, "10s.golden.out"))])
+    # reference output is %f-rounded to 6 decimals
+    assert np.abs(v - want).max() < 1e-6
+
+
+def test_native_vs_python_oracle_random():
+    from genomax.io.generator import generate_pairhmm_batch
+    from genomax.kernels import oracle
+
+    batch = generate_pairhmm_batch(2, 2, read_len=15, hap_len=21, seed=77)
+    got = native.pairhmm_native([batch])
+    want = oracle.pairhmm_batch_log10(batch)
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)

@@ -81,14 +81,20 @@ def test_pairhmm_multi_batch_order(eng):
     np.testing.assert_allclose(got, want, atol=2e-4)
 
 
-def test_pairhmm_deep_decay_rescale(eng):
+def test_pairhmm_deep_decay_rescale():
     # Force heavy mismatch decay to exercise the exponent-rescale path:
     # all-mismatch read with strong base quality => per-row attenuation
     # ~1e-4, total ~1e-4*rl, well past fp32 range without rescaling.
+    # Fallback disabled so the fp32 path itself is what's verified.
+    eng = Engine(
+        EngineConfig(backend="lax", pair_tile=8, phmm_fallback_threshold=None)
+    )
     batch = generate_pairhmm_batch(1, 1, read_len=60, hap_len=70, seed=21)
     batch.reads[0].bases = b"A" * 60
     batch.haplotypes[0] = b"C" * 70
     got = eng.pairhmm([batch])
     want = oracle.pairhmm_batch_log10(batch)
-    assert want[0] < -100  # proves the case is out of unscaled fp32 range
+    # Proves the case needs rescaling: the diagonal peak decays by
+    # ~|want| orders below the 2**120 init, far past the 2**40 trigger.
+    assert want[0] < -40
     np.testing.assert_allclose(got, want, atol=5e-3)
