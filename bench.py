@@ -1,0 +1,100 @@
+"""Driver benchmark: prints ONE JSON line with the headline metric.
+
+Headline = Smith-Waterman GCUPS on the reference's own benchmark point:
+25,000 alignments of ~512bp random DNA (project_presentation.pptx slides
+9-11: "50k sequences aligned pairwise" at LEN=512, best GPU time 110.10 ms
+= ~59.5 GCUPS; see BASELINE.md). vs_baseline is measured against that
+derived reference-GPU throughput — the strongest baseline the reference
+publishes. Secondary results (PairHMM on the repo's 10s.in test set,
+parity checks) go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REF_GPU_GCUPS_512 = 59.5  # BASELINE.md: 25k x 512^2 cells / 110.10 ms
+REF_C_GCUPS = 0.047  # single-core C reference measured in BASELINE.md
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax.numpy as jnp
+
+    from genomax.engine.executor import _meta2
+    from genomax.io.formats import SWPair, parse_pairhmm_file
+    from genomax.io.generator import random_dna
+    from genomax.kernels import oracle
+    from genomax.kernels.sw_pallas import sw_forward_pallas
+    from genomax.pack.bucketing import pack_pairhmm_batches, pack_sw_pairs
+
+    # ---- SW headline: 25,000 x LEN=512 ----
+    rng = np.random.default_rng(0)
+    n, L = 25000, 512
+    pairs = [
+        SWPair(sx=random_dna(rng, L) + b"\n", sy=random_dna(rng, L) + b"\n")
+        for _ in range(n)
+    ]
+    pt, unroll = 32, 16
+    t0 = time.time()
+    bucket = pack_sw_pairs(pairs, pair_tile=pt)[0]
+    log(f"pack: {time.time()-t0:.2f}s dtype={bucket.sx.dtype}")
+    args = [jnp.asarray(x) for x in (bucket.sx, bucket.sy, bucket.ndiag_tile)]
+
+    t0 = time.time()
+    res = np.asarray(sw_forward_pallas(*args, pair_tile=pt, unroll=unroll))
+    log(f"compile+first: {time.time()-t0:.1f}s")
+    got = np.zeros(n, np.int32)
+    got[bucket.perm] = res[: bucket.n_valid]
+    ok = np.array_equal(got[:4], oracle.sw_scores_pairs(pairs[:4]))
+    log(f"parity spot-check: {'OK' if ok else 'MISMATCH'}")
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        np.asarray(sw_forward_pallas(*args, pair_tile=pt, unroll=unroll))
+        best = min(best, time.time() - t0)
+    cells = n * (L + 1) ** 2
+    gcups = cells / best / 1e9
+    log(f"SW 25k x {L}: {best*1e3:.1f} ms = {gcups:.2f} GCUPS "
+        f"(ref GPU best {REF_GPU_GCUPS_512} GCUPS / 110.10 ms; "
+        f"ref C {REF_C_GCUPS} GCUPS)")
+
+    # ---- secondary: PairHMM on the repo test set ----
+    try:
+        from genomax.engine.executor import Engine
+        from genomax.config import EngineConfig
+
+        golden = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "tests", "golden")
+        eng = Engine(EngineConfig(backend="pallas"))
+        batches = parse_pairhmm_file(os.path.join(golden, "10s.in"))
+        v = eng.pairhmm(batches)  # compile + run
+        t0 = time.time()
+        v = eng.pairhmm(batches)
+        dt = time.time() - t0
+        want = np.loadtxt(os.path.join(golden, "10s.golden.out"))
+        err = float(np.abs(np.asarray(v, np.float64) - want).max())
+        log(f"PairHMM 10s.in: {dt*1e3:.0f} ms end-to-end, "
+            f"{eng.last_stats.gcups:.2f} GCUPS kernel, max|err|={err:.1e}")
+    except Exception as e:  # secondary must not break the headline line
+        log(f"PairHMM secondary failed: {e!r}")
+
+    print(json.dumps({
+        "metric": "SW affine-gap GCUPS, 25k x 512bp alignments (ref headline)",
+        "value": round(gcups, 2),
+        "unit": "GCUPS",
+        "vs_baseline": round(gcups / REF_GPU_GCUPS_512, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -47,7 +47,6 @@ def bench_sw_point(length: int, num_alignments: int, pair_tile: int, backend: st
             args = (
                 jnp.asarray(b.sx),
                 jnp.asarray(b.sy),
-                jnp.asarray(_meta2(b.nx, b.ny)),
                 jnp.asarray(b.ndiag_tile),
             )
             runs.append(lambda a=args: sw_forward_pallas(*a, pair_tile=pair_tile))

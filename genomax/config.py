@@ -55,8 +55,8 @@ class EngineConfig:
     block-size sweep, hiprun.sh:27-39)."""
 
     # Pairs per Pallas grid step (sublane-dim tile). Multiple of 8 (f32/i32
-    # sublane tiling).
-    pair_tile: int = 8
+    # sublane tiling; int16 tiles want multiples of 16).
+    pair_tile: int = 32
     # Lane-dim quantum for padded diagonal buffers. Multiple of 128.
     lane_quantum: int = 128
     # Bucket pair-count padding quantum == pair_tile.

@@ -41,7 +41,6 @@ def _pick(backend: str):
 def sw_forward_sharded(
     sx,
     sy,
-    meta,
     nx,
     ny,
     ndiag_tile,
@@ -60,12 +59,12 @@ def sw_forward_sharded(
     Row count must divide by (#devices * pair_tile).
     """
 
-    def shard_fn(sx_s, sy_s, meta_s, nx_s, ny_s, nd_s):
+    def shard_fn(sx_s, sy_s, nx_s, ny_s, nd_s):
         if backend == "pallas":
             from genomax.kernels.sw_pallas import sw_forward_pallas
 
             local = sw_forward_pallas(
-                sx_s, sy_s, meta_s, nd_s,
+                sx_s, sy_s, nd_s,
                 pair_tile=pair_tile, cfg=cfg, interpret=interpret,
             )
         else:
@@ -79,10 +78,10 @@ def sw_forward_sharded(
     return shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(spec, spec, spec, spec, spec, spec),
+        in_specs=(spec, spec, spec, spec, spec),
         out_specs=P(),
         check_rep=False,
-    )(sx, sy, meta, nx, ny, ndiag_tile)
+    )(sx, sy, nx, ny, ndiag_tile)
 
 
 @functools.partial(

@@ -122,7 +122,6 @@ class Engine:
             return sw_forward_pallas(
                 jnp.asarray(b.sx),
                 jnp.asarray(b.sy),
-                jnp.asarray(_meta2(b.nx, b.ny)),
                 jnp.asarray(b.ndiag_tile),
                 pair_tile=b.pair_tile,
                 cfg=self.sw_cfg,

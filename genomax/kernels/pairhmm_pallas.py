@@ -6,7 +6,7 @@ lane vectors, haplotype chars consumed as a reversed diagonal stream
 rotated one lane per step, all per-base quality arrays lane-fixed. The
 reference needs fp64 and a DBL_MAX/16 scaling constant; the TPU kernel
 runs fp32 with a per-pair power-of-two exponent shift (see
-kernels/wavefront.py docstring).
+kernels/wavefront.py docstring), rescaled once per unrolled block.
 """
 
 from __future__ import annotations
@@ -20,6 +20,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from genomax.kernels.wavefront import (
     phmm_finalize,
+    phmm_make_consts,
     phmm_make_state,
     phmm_rescale,
     phmm_step,
@@ -48,54 +49,42 @@ def _kernel(
     nd = nd_ref[t]
     b, nxp = rchar_ref.shape
 
-    rchar = rchar_ref[:]
-    qr = qr_ref[:]
-    mmv = mmv_ref[:]
-    gapm = gapm_ref[:]
-    qi = qi_ref[:]
-    qd = qd_ref[:]
-    qg = qg_ref[:]
-    meta = meta_ref[:]
-    rl = meta[:, 0:1]
-    hl = meta[:, 1:2]
-    ii = jax.lax.broadcasted_iota(jnp.int32, (b, nxp), 1)
-
     if interpret:
         roll1 = functools.partial(jnp.roll, shift=1, axis=1)
     else:
         roll1 = lambda x: pltpu.roll(x, 1, axis=1)  # noqa: E731
 
+    meta = meta_ref[:]
+    c = phmm_make_consts(
+        rchar_ref[:],
+        qr_ref[:],
+        mmv_ref[:],
+        gapm_ref[:],
+        qi_ref[:],
+        qd_ref[:],
+        qg_ref[:],
+        meta[:, 0:1],
+        meta[:, 1:2],
+        roll1,
+    )
+
     def body(d, state):
-        return phmm_step(
-            d,
-            state,
-            rchar=rchar,
-            qr=qr,
-            mmv=mmv,
-            gapm=gapm,
-            qi=qi,
-            qd=qd,
-            qg=qg,
-            rl=rl,
-            hl=hl,
-            ii=ii,
-            roll1=roll1,
-        )
+        return phmm_step(d, state, c)
 
     def block(state, d):
-        return phmm_rescale(state, d, rl=rl, hl=hl, ii=ii)
+        return phmm_rescale(state, d, c)
 
     zscr[:] = jnp.zeros((b, nxp), jnp.float32)
     state = wavefront_sweep(
-        nd, phmm_make_state(hap_ref[:], zscr[:]), body,
-        unroll=unroll, block_fn=block,
+        nd, phmm_make_state(hap_ref[:], zscr[:]), body, unroll=unroll,
+        block_fn=block,
     )
     res = phmm_finalize(state).reshape(b, 1)
     out_ref[:] = jnp.broadcast_to(res, out_ref.shape)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("pair_tile", "rescale_period", "unroll", "interpret")
+    jax.jit, static_argnames=("pair_tile", "rescale_period", "interpret")
 )
 def pairhmm_forward_pallas(
     rchar: jax.Array,  # (NP, NX) int32 lane-fixed read codes
@@ -108,11 +97,9 @@ def pairhmm_forward_pallas(
     hap: jax.Array,  # (NP, ND) int32 reversed diagonal stream
     meta: jax.Array,  # (NP, 128) int32: lane0=read_len, lane1=hap_len
     ndiag_tile: jax.Array,  # (NP // pair_tile,) int32
-    pair_tile: int = 8,
-    rescale_period: int = 8,  # kept for API symmetry; the rescale runs
-    unroll: int = 8,          # once per unrolled block, i.e. every
-    interpret: bool = False,  # `unroll` diagonals
-
+    pair_tile: int = 32,
+    rescale_period: int = 8,  # == the unrolled block length
+    interpret: bool = False,
 ) -> jax.Array:
     """Returns (NP,) f32 log10 likelihoods (reference-constant-relative)."""
     n_pairs, nxp = rchar.shape
@@ -149,7 +136,7 @@ def pairhmm_forward_pallas(
     )
 
     out = pl.pallas_call(
-        functools.partial(_kernel, unroll=unroll, interpret=interpret),
+        functools.partial(_kernel, unroll=rescale_period, interpret=interpret),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pairs, 128), jnp.float32),
         compiler_params=pltpu.CompilerParams(

@@ -7,9 +7,10 @@ block per pair striding a shared-memory diagonal with __syncthreads, each
 grid step scores a sublane-tile of pairs whose rotating P/Q/D diagonals
 live in VMEM as (pair_tile, NX) lane vectors; the Pallas pipeline streams
 the packed sequence tiles HBM→VMEM double-buffered. The longer sequence
-is consumed as a reversed diagonal stream rotated one lane per step (see
-kernels/wavefront.py). Per-tile diagonal counts arrive via scalar
-prefetch so short tiles exit early.
+is consumed as a reversed diagonal stream rotated one lane per step, and
+the whole DP runs in int16 when lengths permit (2x VPU throughput; see
+kernels/wavefront.py for the soft-sentinel equivalence proof). Per-tile
+diagonal counts arrive via scalar prefetch so short tiles exit early.
 """
 
 from __future__ import annotations
@@ -22,37 +23,40 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from genomax.config import SWConfig
-from genomax.kernels.wavefront import sw_make_state, sw_step, wavefront_sweep
+from genomax.kernels.wavefront import (
+    sw_make_consts,
+    sw_make_state,
+    sw_step,
+    wavefront_sweep,
+)
 
 
-def _kernel(nd_ref, sx_ref, sy_ref, meta_ref, out_ref, zscr, *, cfg: SWConfig, unroll: int, interpret: bool):
+def _kernel(nd_ref, sx_ref, sy_ref, out_ref, zscr, *, cfg: SWConfig,
+            unroll: int, interpret: bool):
     t = pl.program_id(0)
     nd = nd_ref[t]
     b, nxp = sx_ref.shape
 
-    sxb = sx_ref[:]
-    meta = meta_ref[:]
-    nx1 = meta[:, 0:1] - 1
-    ny1 = meta[:, 1:2] - 1
-    jj = jax.lax.broadcasted_iota(jnp.int32, (b, nxp), 1)
-
     if interpret:
         roll1 = functools.partial(jnp.roll, shift=1, axis=1)
+    elif sx_ref.dtype == jnp.int16:
+        # tpu.dynamic_rotate only supports 32-bit data; int16 rotates are
+        # expressed as slice+concat instead.
+        roll1 = lambda x: jnp.concatenate([x[:, -1:], x[:, :-1]], axis=1)  # noqa: E731
     else:
         roll1 = lambda x: pltpu.roll(x, 1, axis=1)  # noqa: E731
 
+    c = sw_make_consts(sx_ref[:], roll1, cfg)
+
     def body(d, state):
-        return sw_step(
-            d, state, sxb=sxb, nx1=nx1, ny1=ny1, jj=jj, roll1=roll1, cfg=cfg
-        )
+        return sw_step(d, state, c)
 
     # Zero template round-tripped through VMEM scratch (layout note in
     # sw_make_state).
-    zscr[:] = jnp.zeros((b, nxp), jnp.int32)
-    state = wavefront_sweep(
-        nd, sw_make_state(sy_ref[:], zscr[:]), body, unroll=unroll
-    )
-    score = jnp.max(state[5], axis=1, keepdims=True)
+    zscr[:] = jnp.zeros((b, nxp), sx_ref.dtype)
+    state = wavefront_sweep(nd, sw_make_state(sy_ref[:], zscr[:]), body, unroll)
+    # int16 reductions aren't implemented in Mosaic; widen first (once per tile).
+    score = jnp.max(state[6].astype(jnp.int32), axis=1, keepdims=True)
     out_ref[:] = jnp.broadcast_to(score, out_ref.shape)
 
 
@@ -60,13 +64,12 @@ def _kernel(nd_ref, sx_ref, sy_ref, meta_ref, out_ref, zscr, *, cfg: SWConfig, u
     jax.jit, static_argnames=("pair_tile", "cfg", "unroll", "interpret")
 )
 def sw_forward_pallas(
-    sx: jax.Array,  # (NP, NX) int32, lane-fixed (lane j = sx[j-1])
-    sy: jax.Array,  # (NP, ND) int32, reversed diagonal stream
-    meta: jax.Array,  # (NP, 128) int32: lane0=nx, lane1=ny
+    sx: jax.Array,  # (NP, NX) int16/int32, lane-fixed (lane j = sx[j-1])
+    sy: jax.Array,  # (NP, ND) same dtype, reversed diagonal stream
     ndiag_tile: jax.Array,  # (NP // pair_tile,) int32
-    pair_tile: int = 8,
+    pair_tile: int = 32,
     cfg: SWConfig = SWConfig(),
-    unroll: int = 8,
+    unroll: int = 16,
     interpret: bool = False,
 ) -> jax.Array:
     """Returns (NP,) int32 scores."""
@@ -82,19 +85,17 @@ def sw_forward_pallas(
         in_specs=[
             pl.BlockSpec((b, nxp), lambda t, nd: (t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b, ndp), lambda t, nd: (t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, 128), lambda t, nd: (t, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (b, 128), lambda t, nd: (t, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[pltpu.VMEM((pair_tile, nxp), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((pair_tile, nxp), sx.dtype)],
     )
 
-    # ~40 VPU ops per lane per diagonal; tell the scheduler roughly what
-    # one launch costs so pipelining decisions are sane.
+    # ~23 VPU ops per lane per diagonal.
     cost = pl.CostEstimate(
-        flops=int(n_pairs) * int(nxp) * int(ndp) * 40,
-        bytes_accessed=int(sx.size + sy.size + meta.size) * 4,
+        flops=int(n_pairs) * int(nxp) * int(ndp) * 23,
+        bytes_accessed=int(sx.size + sy.size) * sx.dtype.itemsize,
         transcendentals=0,
     )
 
@@ -107,5 +108,5 @@ def sw_forward_pallas(
         ),
         cost_estimate=cost,
         interpret=interpret,
-    )(ndiag_tile, sx, sy, meta)
+    )(ndiag_tile, sx, sy)
     return out[:, 0]

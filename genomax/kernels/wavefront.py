@@ -9,41 +9,57 @@ __syncthreads barriers, smithWaterman.cu:283-344 / pairHMM.cu:274-343):
     a tile of independent pairs lives along the **sublane** axis. All
     state is (B, lanes) arrays — the rotating 3-diagonal window of the
     reference (antidiagonalSmithWaterman.c:96-184) becomes loop carries.
-  * Neighbor access along the diagonal is a lane roll (shift-by-one), not
-    an indexed memory access. Boundary rows/cols are lane-masked selects.
+  * Neighbor access along the diagonal is a lane roll (shift-by-one).
+    Shifted copies of the previous diagonal are carried forward so each
+    step rolls only the values it just produced (3 rolls/step for SW,
+    4 for PairHMM).
   * The streamed second sequence enters as a *reversed diagonal stream*:
-    the packed (B, ND) buffer holds the codes such that rotating it right
-    by one lane per wavefront step aligns code needed by lane k at
-    diagonal d (a pure circular rotation — no per-step element inserts,
-    no dynamic indexing; see pack/bucketing.py).
+    rotating the packed (B, ND) buffer right by one lane per step lands
+    the code needed by lane k at diagonal d — a pure circular rotation,
+    no inserts, no dynamic indexing (see pack/bucketing.py).
   * The running result (SW max / PairHMM last-row likelihood sum) is
     accumulated into a lane *vector*; the cross-lane reduction happens
     once at the end. Zero per-step cross-lane reductions.
+  * Loop-invariant masks/constants are hoisted into a per-sweep "consts"
+    bundle computed once.
 
-Axis orientation:
-  * SW: lanes = x (the shorter sequence, columns). sx is lane-fixed; the
-    longer sequence sy is the rotating stream.
-  * PairHMM: lanes = i (the read). All per-base quality arrays are
-    lane-fixed; the haplotype chars are the rotating stream.
+SW int semantics: the reference's -infinity is INT_MIN with a saturating
+add (antidiagonalSmithWaterman.c:38,86-88). Here -infinity is a *finite*
+soft sentinel with plain adds — provably score-identical: D >= 0 at every
+cell (the max-with-0), so the D-derived candidate in the P/Q maxes is
+>= gap_open+gap_extend, while any sentinel-derived chain stays below
+sentinel+len and can never win a max or wrap. This removes two compare+
+select pairs per step and admits an int16 kernel (sentinel -2**14) for a
+2x VPU throughput win whenever sequences are short enough that
+|score| + |sentinel| + len < 32768.
+
+SW padding codes: packed sx pads with code 1 and the sy stream with code
+2 (never equal, never equal to real bases or '\n'), so out-of-range lanes
+always mismatch, their D decays to 0, and the running max needs NO
+per-pair length masking at all.
 
 PairHMM numerics: TPU has no fp64. The reference keeps magnitudes afloat
 with a DBL_MAX/16 initial constant (pairHMMmatrix.c:43-46). Here the
 initial constant is 2**120 in fp32 and a per-pair exponent shift is
-tracked: whenever the masked diagonal max decays below 2**40, the live
-M/X/Y diagonals are multiplied by 2**80 and the final log10 result is
-shifted back (the likelihood accumulator carries its own exponent — see
-phmm_step). This keeps >70 decimal orders of within-diagonal dynamic
-range and unbounded total range.
+tracked: when the in-window diagonal max (across BOTH live diagonals —
+the older one bounds the overflow headroom) decays below 2**40, all
+value carries are multiplied by 2**80 and the final log10 result is
+shifted back. The likelihood accumulator carries its own exponent (see
+phmm_step). This supports >70 decimal orders of within-diagonal dynamic
+range and unbounded total range; the engine routes anything deeper to
+the native fp64 golden model (GKL-style fallback).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import functools
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
 
-from genomax.config import NEG_INF_I32, SWConfig
+from genomax.config import SWConfig
 
 # PairHMM fp32 scaling scheme.
 PHMM_INIT_LOG2 = 120  # initial constant = 2**120
@@ -53,19 +69,20 @@ PHMM_RESCALE_LOG10 = 80 * 0.30102999566398120  # log10(2**80)
 PHMM_INIT_LOG10 = 120 * 0.30102999566398120
 _N_CODE = ord("N")
 
-
-def _sat_add(v, c: int):
-    """sum_with_infinity: INT_MIN-absorbing add
-    (antidiagonalSmithWaterman.c:86-88)."""
-    return jnp.where(v == NEG_INF_I32, NEG_INF_I32, v + c)
+# Soft -infinity sentinels (see module docstring for the equivalence
+# argument). int16 kernels require len(sy) <= SW_I16_MAX_LEN.
+NEG_SOFT_I32 = -(2**30)
+NEG_SOFT_I16 = -(2**14)
+SW_I16_MAX_LEN = 8000
 
 
 def wavefront_sweep(nd, state, step_fn, unroll: int, block_fn=None):
     """Run the wavefront: ceil(nd/unroll) outer iterations, each tracing
     ``unroll`` python-unrolled steps (static inner trip count → no
-    per-diagonal loop overhead on the TPU scalar core). ``block_fn``
-    (e.g. the PairHMM rescale) runs once per block, keeping lax.cond out
-    of the hot path entirely.
+    per-diagonal loop overhead on the TPU scalar core, and 100x faster
+    Mosaic compiles than a dynamic-bound single-step loop). ``block_fn``
+    (the PairHMM rescale) runs once per block, keeping lax.cond out of
+    the hot path entirely.
 
     May run up to unroll-1 diagonals past ``nd``; that is harmless by the
     masking invariants (cells past a pair's last diagonal never pass the
@@ -88,93 +105,107 @@ def wavefront_sweep(nd, state, step_fn, unroll: int, block_fn=None):
 # ---------------------------------------------------------------------------
 
 
+@dataclasses.dataclass(frozen=True)
+class SWConsts:
+    """Loop-invariant values, computed once per sweep."""
+
+    sxb: Any  # (B, NX) lane-fixed codes (lane j = sx[j-1])
+    col0: Any  # (B, NX) bool: lane 0 (the j==0 boundary column)
+    jj: Any  # (B, NX) lane iota, same dtype as the DP values
+    subm: Any  # (B, NX) match-score vector (concrete layout: a select
+    subx: Any  # with two scalar splat branches trips Mosaic relayout)
+    neg: int  # soft -inf sentinel for this dtype
+    roll1: Callable
+    cfg: SWConfig
+
+
+def sw_make_consts(sxb, roll1, cfg: SWConfig) -> SWConsts:
+    b, nxp = sxb.shape
+    dt = sxb.dtype
+    # 16-bit iota isn't supported by the hardware; widen-then-narrow.
+    jj = jax.lax.broadcasted_iota(jnp.int32, (b, nxp), 1).astype(dt)
+    neg = NEG_SOFT_I16 if dt == jnp.int16 else NEG_SOFT_I32
+    zero = sxb - sxb
+    return SWConsts(
+        sxb=sxb, col0=jj == 0, jj=jj, subm=zero + cfg.match,
+        subx=zero + cfg.mismatch, neg=neg, roll1=roll1, cfg=cfg,
+    )
+
+
 def sw_make_state(sy_rev, z):
-    """Initial (P1, Q1, D1, D2, syb, mx) carries — syb is the full-width
-    (B, ND) rotating reversed stream.
+    """Initial (P1, D1, D1s, Q1s, D2s, syb, mx) carries — syb is the
+    full-width (B, ND) rotating reversed stream; D1s/Q1s/D2s are the
+    carried roll-by-one copies of the previous diagonals.
 
-    ``z``: a (B, NX) int32 zero template. Inside Pallas kernels this must
-    be zeros round-tripped through a VMEM scratch buffer: Mosaic folds
-    constant zeros (even ``x * 0``) into splats with a replicated vector
-    layout, which cannot be reconciled with the loop body's computed
-    layout ("Invalid relayout" compile errors); a memory load always has
-    the standard layout."""
-    return (z, z, z, z, sy_rev, z)
+    ``z``: a (B, NX) zero template of the DP dtype. Inside Pallas kernels
+    this must be zeros round-tripped through a VMEM scratch buffer:
+    Mosaic folds constant zeros (even ``x * 0``) into splats with a
+    replicated vector layout, which cannot be reconciled with the loop
+    body's computed layout ("Invalid relayout" compile errors); a memory
+    load always has the standard layout."""
+    return (z, z, z, z, z, sy_rev, z)
 
 
-def sw_step(d, state, *, sxb, nx1, ny1, jj, roll1, cfg: SWConfig):
-    """Compute anti-diagonal d of P/Q/D from diagonals d-1 and d-2.
+def sw_step(d, state, c: SWConsts):
+    """Compute anti-diagonal d of P/Q/D from diagonals d-1 and d-2
+    (recurrences at antidiagonalSmithWaterman.c:309-335, boundaries
+    :290-306 — the j==0 column is applied first so the i==0 row wins at
+    (0,0), matching the reference's check order).
 
-    state  : (P1, Q1, D1, D2, syb, mx); DP carries are (B, NX) int32, syb
-             is the (B, ND) rotating reversed stream.
-    sxb    : (B, NX) lane-fixed codes, lane j holds sx[j-1].
-    nx1/ny1: (B, 1) nx-1 / ny-1 (true lengths).
-    jj     : (B, NX) lane iota.
-    roll1  : rotate-right-by-one-lane function.
-
-    Rotation invariant: after the rotation below, syb lane j holds
-    sy[d-1-j] — exactly the sy code cell (i=d-j, j) compares against
-    (sy[i-1]).
+    Rotation invariant: after this step's rotation, syb lane j holds
+    sy[d-1-j] — the sy code cell (i=d-j, j) compares against.
     """
-    P1, Q1, D1, D2, syb, mx = state
+    P1, D1, D1s, Q1s, D2s, syb, mx = state
+    cfg = c.cfg
     og_e = cfg.gap_open + cfg.gap_extend
 
-    syb = roll1(syb)
-    syw = syb[:, : sxb.shape[1]]
-    iv = d - jj  # row index of each lane's cell
+    syb = c.roll1(syb)
+    syw = syb[:, : c.sxb.shape[1]]
 
-    D1s = roll1(D1)
-    Q1s = roll1(Q1)
-    D2s = roll1(D2)
+    # P/Q/D recurrences with plain adds (soft sentinel; see module doc).
+    Pn = jnp.maximum(D1 + og_e, P1 + cfg.gap_extend)
+    Qn = jnp.maximum(D1s + og_e, Q1s + cfg.gap_extend)
+    sub = jnp.where(syw == c.sxb, c.subm, c.subx)
+    Dn = jnp.maximum(jnp.maximum(Pn, Qn), jnp.maximum(D2s + sub, 0))
 
-    # P[i][j] = max(D[i-1][j]+og+e, P[i-1][j]+e)      (.c:309-315)
-    Pn = jnp.maximum(_sat_add(D1, og_e), _sat_add(P1, cfg.gap_extend))
-    # Q[i][j] = max(D[i][j-1]+og+e, Q[i][j-1]+e)      (.c:317-323)
-    Qn = jnp.maximum(_sat_add(D1s, og_e), _sat_add(Q1s, cfg.gap_extend))
-    # D[i][j] = max(P, Q, D[i-1][j-1]+/-1, 0)         (.c:325-335)
-    sub = jnp.where(syw == sxb, cfg.match, cfg.mismatch)
-    Dt = D2s + sub  # valid D cells are never -inf (D >= 0 always)
-    Dn = jnp.maximum(jnp.maximum(Pn, Qn), jnp.maximum(Dt, 0))
-
-    # Boundaries. Column j==0 first, then row i==0 — the reference checks
-    # iy==0 before ix==0 so the row values win at (0,0) (.c:290-306).
-    col0 = jj == 0
-    Pn = jnp.where(col0, 0, Pn)
-    Qn = jnp.where(col0, NEG_INF_I32, Qn)
-    Dn = jnp.where(col0, 0, Dn)
-    row0 = iv == 0
-    Pn = jnp.where(row0, NEG_INF_I32, Pn)
+    # Boundaries: column j==0, then row i==0 (lane j == d).
+    Pn = jnp.where(c.col0, 0, Pn)
+    Qn = jnp.where(c.col0, c.neg, Qn)
+    Dn = jnp.where(c.col0, 0, Dn)
+    row0 = c.jj == jnp.asarray(d).astype(c.jj.dtype)
+    Pn = jnp.where(row0, c.neg, Pn)
     Qn = jnp.where(row0, 0, Qn)
     Dn = jnp.where(row0, 0, Dn)
 
-    # Running max over interior cells only (.c:335).
-    valid = (jj >= 1) & (jj <= nx1) & (iv >= 1) & (iv <= ny1)
-    mx = jnp.where(valid, jnp.maximum(mx, Dn), mx)
+    # Unmasked running max: pad codes guarantee out-of-range cells decay
+    # to 0 and D >= 0 everywhere (antidiagonalSmithWaterman.c:335).
+    mx = jnp.maximum(mx, Dn)
 
-    return (Pn, Qn, Dn, D1, syb, mx)
+    return (Pn, Dn, c.roll1(Dn), c.roll1(Qn), D1s, syb, mx)
 
 
-def sw_forward_dense(sx, sy_rev, nx, ny, n_diags: int, cfg: SWConfig = SWConfig()):
+def sw_forward_dense(
+    sx, sy_rev, nx, ny, n_diags, cfg: SWConfig = SWConfig(), unroll: int = 8
+):
     """Pure-JAX batched SW over densely packed pairs (the 'lax' backend and
     the differential twin of the Pallas kernel).
 
-    sx: (B, NX) int32 lane-fixed codes; sy_rev: (B, ND) int32 reversed
-    diagonal stream; nx, ny: (B,) int32 true dims (len+1); n_diags:
-    static loop bound. Returns (B,) int32 scores.
+    sx: (B, NX) int16/int32 lane-fixed codes; sy_rev: (B, ND) reversed
+    diagonal stream (same dtype); nx, ny: (B,) int32 true dims (len+1,
+    unused — kept for API parity with bucketing metadata); n_diags: loop
+    bound. Returns (B,) int32 scores.
     """
+    del nx, ny  # lengths are encoded via pad codes; see module docstring
     b, nxp = sx.shape
-    jj = jax.lax.broadcasted_iota(jnp.int32, (b, nxp), 1)
-    nx1 = (nx - 1).reshape(b, 1)
-    ny1 = (ny - 1).reshape(b, 1)
     roll1 = functools.partial(jnp.roll, shift=1, axis=1)
+    c = sw_make_consts(sx, roll1, cfg)
 
     def body(d, state):
-        return sw_step(
-            d, state, sxb=sx, nx1=nx1, ny1=ny1, jj=jj, roll1=roll1, cfg=cfg
-        )
+        return sw_step(d, state, c)
 
-    z = jnp.zeros((b, nxp), jnp.int32)
-    state = wavefront_sweep(n_diags, sw_make_state(sy_rev, z), body, unroll=8)
-    return jnp.max(state[5], axis=1)
+    z = jnp.zeros((b, nxp), sx.dtype)
+    state = wavefront_sweep(n_diags, sw_make_state(sy_rev, z), body, unroll)
+    return jnp.max(state[6].astype(jnp.int32), axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -182,103 +213,158 @@ def sw_forward_dense(sx, sy_rev, nx, ny, n_diags: int, cfg: SWConfig = SWConfig(
 # ---------------------------------------------------------------------------
 
 
-def phmm_make_state(hap_rev, z):
-    """(M1, X1, Y1, M2, X2, Y2, hb, acc, cmul, acc_log) carries.
+@dataclasses.dataclass(frozen=True)
+class PhmmConsts:
+    """Loop-invariant values, computed once per sweep."""
 
-    hap_rev: (B, ND) int32 reversed diagonal stream of haplotype codes;
-    z: (B, NX) f32 zero template (see sw_make_state layout note).
+    rchar: Any  # (B, NX) lane-fixed read codes (lane i = R[i-1])
+    pm: Any  # (B, NX) 1 - Qr  (match emission)
+    qr: Any  # (B, NX) Qr      (mismatch emission)
+    mmv: Any  # (B, NX) 1 - (Qi + Qd)
+    gapm: Any  # (B, NX) 1 - Qg
+    qi: Any
+    qd: Any
+    qg: Any
+    rn: Any  # (B, NX) bool: read base is 'N'
+    row0: Any  # (B, NX) bool: lane 0
+    rlmask: Any  # (B, NX) bool: lane == read_len (the result row)
+    y0: Any  # (B, 1) f32: 2**120 / hap_len
+    rl: Any  # (B, 1) int32
+    hl: Any  # (B, 1) int32
+    ii: Any  # (B, NX) int32 lane iota
+    roll1: Callable
+
+
+def phmm_make_consts(rchar, qr, mmv, gapm, qi, qd, qg, rl, hl, roll1) -> PhmmConsts:
+    b, nxp = qr.shape
+    ii = jax.lax.broadcasted_iota(jnp.int32, (b, nxp), 1)
+    return PhmmConsts(
+        rchar=rchar,
+        pm=1.0 - qr,
+        qr=qr,
+        mmv=mmv,
+        gapm=gapm,
+        qi=qi,
+        qd=qd,
+        qg=qg,
+        rn=rchar == _N_CODE,
+        row0=ii == 0,
+        rlmask=ii == rl,
+        y0=(2.0**PHMM_INIT_LOG2) / jnp.maximum(hl, 1).astype(jnp.float32),
+        rl=rl,
+        hl=hl,
+        ii=ii,
+        roll1=roll1,
+    )
+
+
+def phmm_make_state(hap_rev, z):
+    """(M1, Y1, M1s, X1s, Y1s, M2s, X2s, Y2s, hb, acc, cmul, acc_log).
+
+    M1/Y1 are the previous diagonal unshifted; *1s are its roll-by-one
+    copies; *2s are the roll-by-one copies of the diagonal before it
+    (carried forward — each step only rolls what it just computed).
+    hap_rev: (B, ND) reversed haplotype stream; z: (B, NX) f32 zero
+    template (see sw_make_state layout note).
     """
     zc = z[:, 0:1]
-    return (z, z, z, z, z, z, hap_rev, z, zc + 1.0, zc)
+    return (z, z, z, z, z, z, z, z, hap_rev, z, zc + 1.0, zc)
 
 
-def phmm_step(
-    d,
-    state,
-    *,
-    rchar,
-    qr,
-    mmv,
-    gapm,
-    qi,
-    qd,
-    qg,
-    rl,
-    hl,
-    ii,
-    roll1,
-):
+def phmm_step(d, state, c: PhmmConsts):
     """Compute anti-diagonal d of M/X/Y (pairHMMmatrix.c:49-55).
 
-    Lane axis = read index i; lane-fixed per-base arrays hold values for
-    row i (i.e. quality index i-1): qr=Qr, mmv=1-(Qi+Qd), gapm=1-Qg,
-    qi=Qi, qd=Qd, qg=Qg. rl/hl: (B,1) true read/hap lengths. hb is the
-    (B, ND) rotating reversed haplotype stream (lane i holds H[d-1-i]
-    after this step's rotation).
+    Lane axis = read index i; all per-base arrays are lane-fixed (lane i
+    holds quality index i-1). hb rotation invariant: after this step's
+    roll, hb lane i holds H[d-1-i] = H[j-1] for the cell (i, j=d-i).
 
-    Scaling invariants (see module docstring): the M/X/Y diagonals carry a
-    shared per-pair scale that rescale events push up by 2**80; the
-    likelihood accumulator ``acc`` carries its OWN scale (``acc_log`` in
-    log10) and new contributions are folded in through ``cmul`` =
-    2**(-80 * (buffer_rescales - acc_rescales)). The accumulator follows
-    the buffer scale while it is still small, then freezes; frozen-scale
-    contributions that underflow cmul are provably below fp32 summation
-    noise. The row-0 constant never rescales: a rescale can only fire
-    once rows 0/1 have left the valid window (lane-0 Y is pinned at
-    2**120/hl >= 2**106, far above the 2**40 trigger), and valid cells
-    only ever consume values computed while in-window.
+    Scaling invariants: the M/X/Y diagonals carry a shared per-pair scale
+    (rescale events push it up by 2**80, phmm_rescale); the likelihood
+    accumulator ``acc`` carries its OWN scale (``acc_log``, log10) with
+    contributions folded in through ``cmul`` = 2**(-80 * (buffer_rescales
+    - acc_rescales)). The accumulator follows the buffer scale while it
+    is small, then freezes; frozen-scale contributions that underflow
+    cmul are provably below fp32 summation noise. The row-0 constant
+    never rescales: a rescale can only fire once rows 0/1 have left the
+    valid window (lane-0 Y is pinned at 2**120/hl >= 2**106, far above
+    the 2**40 trigger), and valid cells only consume in-window values.
     """
-    M1, X1, Y1, M2, X2, Y2, hb, acc, cmul, acc_log = state
+    M1, Y1, M1s, X1s, Y1s, M2s, X2s, Y2s, hb, acc, cmul, acc_log = state
 
-    hb = roll1(hb)
-    hw = hb[:, : rchar.shape[1]]
-    jv = d - ii  # column (haplotype) index of each lane's cell
-
-    M1s = roll1(M1)
-    X1s = roll1(X1)
-    M2s = roll1(M2)
-    X2s = roll1(X2)
-    Y2s = roll1(Y2)
+    hb = c.roll1(hb)
+    hw = hb[:, : c.rchar.shape[1]]
 
     # emission p() (pairHMMmatrix.c:32-34)
-    match = (rchar == hw) | (rchar == _N_CODE) | (hw == _N_CODE)
-    p = jnp.where(match, 1.0 - qr, qr)
+    match = (c.rchar == hw) | c.rn | (hw == _N_CODE)
+    p = jnp.where(match, c.pm, c.qr)
 
-    Mn = p * (mmv * M2s + gapm * (X2s + Y2s))
-    Xn = M1s * qi + X1s * qg
-    Yn = M1 * qd + Y1 * qg
+    Mn = p * (c.mmv * M2s + c.gapm * (X2s + Y2s))
+    Xn = M1s * c.qi + X1s * c.qg
+    Yn = M1 * c.qd + Y1 * c.qg
 
-    # boundaries: col j==0 (i==d) zeros; row i==0 (lane 0) M=X=0, Y=y0/hl
-    col0 = ii == d
+    # boundaries: col j==0 (lane i==d) zeros; row i==0 (lane 0) Y=y0
+    col0 = c.ii == d
     Mn = jnp.where(col0, 0.0, Mn)
     Xn = jnp.where(col0, 0.0, Xn)
     Yn = jnp.where(col0, 0.0, Yn)
-    row0 = ii == 0
-    y0 = (2.0**PHMM_INIT_LOG2) / jnp.maximum(hl, 1).astype(jnp.float32)
-    Mn = jnp.where(row0, 0.0, Mn)
-    Xn = jnp.where(row0, 0.0, Xn)
-    Yn = jnp.where(row0, y0, Yn)
+    Mn = jnp.where(c.row0, 0.0, Mn)
+    Xn = jnp.where(c.row0, 0.0, Xn)
+    Yn = jnp.where(c.row0, c.y0, Yn)
 
-    # last-row likelihood accumulation (antidiagsPairHMM.c:206-212): the
+    # Last-row likelihood accumulation (antidiagsPairHMM.c:206-212): the
     # cell (read_len, j) lands at lane rl exactly once per diagonal, in
-    # increasing-j order — the same summation order as the reference.
-    lmask = (ii == rl) & (jv >= 1) & (jv <= hl)
+    # increasing-j order — the reference's summation order. Cells with
+    # j > hap_len are masked out; j <= 0 contributes exact zeros (col-0
+    # boundary / untouched lanes), so no lower-bound check is needed.
+    lmask = c.rlmask & (c.ii >= d - c.hl)
     acc = acc + jnp.where(lmask, (Mn + Xn) * cmul, 0.0)
 
-    return (Mn, Xn, Yn, M1, X1, Y1, hb, acc, cmul, acc_log)
+    return (
+        Mn,
+        Yn,
+        c.roll1(Mn),
+        c.roll1(Xn),
+        c.roll1(Yn),
+        M1s,
+        X1s,
+        Y1s,
+        hb,
+        acc,
+        cmul,
+        acc_log,
+    )
 
 
-def phmm_rescale(state, d, *, rl, hl, ii):
-    """Per-pair exponent rescale (fp32 range management), applied once per
-    rescale period — hoisted out of the per-diagonal step so the hot loop
-    carries no lax.cond. ``d`` is the index of the most recent diagonal.
+def phmm_rescale(state, d, c: PhmmConsts):
+    """Per-pair exponent rescale, applied once per unrolled block.
 
-    Unconditional in dataflow terms: rows that don't need rescaling are
-    multiplied by 1.0 (no branching on TPU vectors)."""
-    M1, X1, Y1, M2, X2, Y2, hb, acc, cmul, acc_log = state
+    The peak is taken over BOTH live diagonals (current values M1/Y1 and
+    X1s with a shifted window mask, plus the older *2s copies): the older
+    diagonal can exceed the newer one by the per-diagonal decay, and it
+    is multiplied by the same factor, so it must bound the overflow
+    headroom (trigger 2**40 * factor 2**80 <= 2**120 << FLT_MAX).
+    Unconditional in dataflow terms: rows not rescaling multiply by 1.0.
+    """
+    M1, Y1, M1s, X1s, Y1s, M2s, X2s, Y2s, hb, acc, cmul, acc_log = state
+    ii, rl, hl = c.ii, c.rl, c.hl
     jv = d - ii
-    vmask = (ii <= rl) & (jv >= 0) & (jv <= hl)
-    live = jnp.where(vmask, jnp.maximum(jnp.maximum(M1, X1), Y1), 0.0)
+    # window of the current diagonal d (cells (i, d-i))
+    v0 = (ii <= rl) & (jv >= 0) & (jv <= hl)
+    # window of shifted copies: lane i holds cell (i-1, *) of diag d-1
+    jv1 = (d - 1) - (ii - 1)
+    v1 = (ii >= 1) & (ii - 1 <= rl) & (jv1 >= 0) & (jv1 <= hl)
+    # window of shifted copies of diag d-2
+    jv2 = (d - 2) - (ii - 1)
+    v2 = (ii >= 1) & (ii - 1 <= rl) & (jv2 >= 0) & (jv2 <= hl)
+
+    zero = jnp.zeros_like(M1)
+    live = jnp.where(v0, jnp.maximum(M1, Y1), zero)
+    live = jnp.maximum(
+        live, jnp.where(v1, jnp.maximum(jnp.maximum(M1s, X1s), Y1s), zero)
+    )
+    live = jnp.maximum(
+        live, jnp.where(v2, jnp.maximum(jnp.maximum(M2s, X2s), Y2s), zero)
+    )
     peak = jnp.max(live, axis=1, keepdims=True)
     need = (peak > 0.0) & (peak < PHMM_RESCALE_TRIGGER)
     f = jnp.where(need, PHMM_RESCALE_FACTOR, 1.0)
@@ -287,11 +373,13 @@ def phmm_rescale(state, d, *, rl, hl, ii):
     follow = need & (asum < PHMM_RESCALE_TRIGGER)
     return (
         M1 * f,
-        X1 * f,
         Y1 * f,
-        M2 * f,
-        X2 * f,
-        Y2 * f,
+        M1s * f,
+        X1s * f,
+        Y1s * f,
+        M2s * f,
+        X2s * f,
+        Y2s * f,
         hb,
         acc * jnp.where(follow, PHMM_RESCALE_FACTOR, 1.0),
         cmul * jnp.where(need & ~follow, 1.0 / PHMM_RESCALE_FACTOR, 1.0),
@@ -302,7 +390,7 @@ def phmm_rescale(state, d, *, rl, hl, ii):
 def phmm_finalize(state):
     """log10(sum of last-row M+X) minus the scaling constant
     (pairHMMmatrix.c:59-66), exponent shifts folded back in."""
-    acc, acc_log = state[7], state[9]
+    acc, acc_log = state[9], state[11]
     total = jnp.sum(acc, axis=1, keepdims=True)
     return (jnp.log10(total) + acc_log - PHMM_INIT_LOG10)[:, 0]
 
@@ -318,41 +406,27 @@ def phmm_forward_dense(
     hap_rev,
     rl,
     hl,
-    n_diags: int,
-    rescale_period: int = 16,
+    n_diags,
+    rescale_period: int = 8,
 ):
     """Pure-JAX batched PairHMM forward (the 'lax' backend).
 
-    rchar and the 6 quality arrays: (B, NX) lane-fixed (lane i = base i-1).
-    hap_rev: (B, ND) int32 reversed diagonal stream. rl, hl: (B,) true
-    lengths. Returns (B,) f32 log10 likelihoods relative to the reference
-    constant.
+    rchar: (B, NX) int codes; the 6 quality arrays: (B, NX) f32
+    lane-fixed (lane i = base i-1). hap_rev: (B, ND) int reversed
+    diagonal stream. rl, hl: (B,) true lengths. Returns (B,) f32 log10
+    likelihoods relative to the reference constant.
     """
-    b, nxp = rchar.shape
-    ii = jax.lax.broadcasted_iota(jnp.int32, (b, nxp), 1)
-    rl2 = rl.reshape(b, 1)
-    hl2 = hl.reshape(b, 1)
+    b, nxp = qr.shape
     roll1 = functools.partial(jnp.roll, shift=1, axis=1)
+    c = phmm_make_consts(
+        rchar, qr, mmv, gapm, qi, qd, qg, rl.reshape(b, 1), hl.reshape(b, 1), roll1
+    )
 
     def body(d, state):
-        return phmm_step(
-            d,
-            state,
-            rchar=rchar,
-            qr=qr,
-            mmv=mmv,
-            gapm=gapm,
-            qi=qi,
-            qd=qd,
-            qg=qg,
-            rl=rl2,
-            hl=hl2,
-            ii=ii,
-            roll1=roll1,
-        )
+        return phmm_step(d, state, c)
 
     def block(state, d):
-        return phmm_rescale(state, d, rl=rl2, hl=hl2, ii=ii)
+        return phmm_rescale(state, d, c)
 
     z = jnp.zeros((b, nxp), jnp.float32)
     state = wavefront_sweep(

@@ -44,7 +44,9 @@ def _quantize_rows(n: int, pair_tile: int) -> int:
 class SWPacked:
     """One shape-bucket of SW jobs, densely packed.
 
-    sx   : (NP, NX) int32 — lane-fixed codes, lane j holds sx[j-1], lane 0 = 0
+    sx   : (NP, NX) int32 — lane-fixed codes, lane j holds sx[j-1];
+           out-of-range lanes pad with code 1 (sy pads with 2, so padded
+           cells always mismatch and the kernels need no length masks)
     sy   : (NP, ND) int32 — the REVERSED diagonal stream: lane ND-1-d
            holds sy[d-1]. Kernels rotate this buffer right by one lane
            per wavefront step, which lands sy[d-1-k] at lane k on step d
@@ -125,8 +127,10 @@ def pack_sw_pairs(
         np_pad = _quantize_rows(len(idx), pair_tile)
         ndp = _round_up(int(ndiags.max()), lane_quantum)
 
-        sx = np.zeros((np_pad, nxp), dtype=np.int32)
-        sy = np.zeros((np_pad, ndp), dtype=np.int32)
+        # int16 would double VPU throughput but v5e Mosaic lacks i16
+        # rotate/iota/compare; keep int32 until a packed-i32 scheme lands.
+        sx = np.full((np_pad, nxp), 1, dtype=np.int32)
+        sy = np.full((np_pad, ndp), 2, dtype=np.int32)
         nx = np.ones(np_pad, dtype=np.int32)
         ny = np.ones(np_pad, dtype=np.int32)
         for r, gi in enumerate(idx):
@@ -212,14 +216,14 @@ def pack_pairhmm_batches(
         np_pad = _quantize_rows(len(idx), pair_tile)
         ndp = _round_up(int((rlen[idx] + hlen[idx] + 1).max()), lane_quantum)
 
-        rchar = np.zeros((np_pad, nxp), dtype=np.int32)
+        rchar = np.full((np_pad, nxp), 1, dtype=np.int32)
         qr = np.zeros((np_pad, nxp), dtype=np.float32)
         mmv = np.zeros((np_pad, nxp), dtype=np.float32)
         gapm = np.zeros((np_pad, nxp), dtype=np.float32)
         qi = np.zeros((np_pad, nxp), dtype=np.float32)
         qd = np.zeros((np_pad, nxp), dtype=np.float32)
         qg = np.zeros((np_pad, nxp), dtype=np.float32)
-        hap = np.zeros((np_pad, ndp), dtype=np.int32)
+        hap = np.full((np_pad, ndp), 2, dtype=np.int32)
         rl = np.zeros(np_pad, dtype=np.int32)
         hl = np.ones(np_pad, dtype=np.int32)
         for r, gi in enumerate(idx):

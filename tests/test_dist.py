@@ -43,7 +43,6 @@ def test_sw_sharded_matches_oracle(mesh):
     got_packed = sw_forward_sharded(
         jnp.asarray(bk.sx),
         jnp.asarray(bk.sy),
-        jnp.asarray(_meta2(bk.nx, bk.ny)),
         jnp.asarray(bk.nx),
         jnp.asarray(bk.ny),
         jnp.asarray(bk.ndiag_tile),
