@@ -1,7 +1,9 @@
 """Benchmark sweep — the TPU analogue of the reference's hiprun.sh
 block-size sweep (smithWaterman/hiprun.sh:18-39: lengths {64..1024} ×
 block sizes {32..1024}, 25,000 alignments per point; results charted in
-project_presentation.pptx slides 10-14, tabulated in BASELINE.md)."""
+project_presentation.pptx slides 10-14, tabulated in BASELINE.md). The
+TPU tuning knob is the wavefront unroll factor (steps per fori_loop
+iteration) — tiles are always 128 pairs wide (the VPU lane width)."""
 
 from __future__ import annotations
 
@@ -17,14 +19,16 @@ def _force(x):
     return np.asarray(x)
 
 
-def bench_sw_point(length: int, num_alignments: int, pair_tile: int, backend: str,
+def bench_sw_point(length: int, num_alignments: int, unroll: int, backend: str,
                    trials: int = 3, seed: int = 0):
     """One sweep point: fixed-length random pairs, kernel-only timing
-    (matches the reference's kernel-only elapsed, hipvers.cpp:475-483)."""
+    (matches the reference's kernel-only elapsed, hipvers.cpp:475-483).
+    All trial launches are dispatched back-to-back and fenced once, so
+    per-call host/tunnel latency amortizes like a production pipeline."""
     import jax.numpy as jnp
 
     from genomax.config import EngineConfig
-    from genomax.engine.executor import Engine, _meta2
+    from genomax.engine.executor import Engine, _sw_dense_jit
     from genomax.io.formats import SWPair
     from genomax.io.generator import random_dna
     from genomax.pack.bucketing import pack_sw_pairs
@@ -36,8 +40,8 @@ def bench_sw_point(length: int, num_alignments: int, pair_tile: int, backend: st
         b = random_dna(rng, length) + b"\n"
         pairs.append(SWPair(sx=a, sy=b))
 
-    eng = Engine(EngineConfig(pair_tile=pair_tile, backend=backend))
-    buckets = pack_sw_pairs(pairs, pair_tile)
+    eng = Engine(EngineConfig(backend=backend))
+    buckets = pack_sw_pairs(pairs)
     # Pre-place on device; time kernels only.
     runs = []
     for b in buckets:
@@ -49,15 +53,13 @@ def bench_sw_point(length: int, num_alignments: int, pair_tile: int, backend: st
                 jnp.asarray(b.sy),
                 jnp.asarray(b.ndiag_tile),
             )
-            runs.append(lambda a=args: sw_forward_pallas(*a, pair_tile=pair_tile))
+            runs.append(lambda a=args: sw_forward_pallas(*a, unroll=unroll))
         else:
-            from genomax.kernels.wavefront import sw_forward_dense
-
-            from genomax.engine.executor import _sw_dense_jit
+            from genomax.engine.executor import flatten_tiles
 
             args = (
-                jnp.asarray(b.sx),
-                jnp.asarray(b.sy),
+                flatten_tiles(b.sx),
+                flatten_tiles(b.sy),
                 jnp.asarray(b.nx),
                 jnp.asarray(b.ny),
             )
@@ -75,20 +77,20 @@ def bench_sw_point(length: int, num_alignments: int, pair_tile: int, backend: st
     cells = num_alignments * (length + 1) ** 2  # incl. '\n' lane, like the C
     return {
         "length": length,
-        "pair_tile": pair_tile,
+        "unroll": unroll,
         "elapsed_ms": round(best * 1e3, 3),
         "gcups": round(cells / best / 1e9, 3),
     }
 
 
-def run_sweep(lengths, pair_tiles, num_alignments, backend, json_out=None):
+def run_sweep(lengths, unrolls, num_alignments, backend, json_out=None):
     rows = []
     print(f"SW sweep: {num_alignments} alignments per point, backend={backend}")
-    print(f"{'LEN':>6} " + " ".join(f"pt={p:>4}" for p in pair_tiles) + "   (elapsed ms / GCUPS)")
+    print(f"{'LEN':>6} " + " ".join(f"u={u:>4}" for u in unrolls) + "   (elapsed ms / GCUPS)")
     for L in lengths:
         cells = []
-        for p in pair_tiles:
-            r = bench_sw_point(L, num_alignments, p, backend)
+        for u in unrolls:
+            r = bench_sw_point(L, num_alignments, u, backend)
             rows.append(r)
             cells.append(f"{r['elapsed_ms']:>8.1f}/{r['gcups']:<6.1f}")
         print(f"{L:>6} " + " ".join(cells))

@@ -31,7 +31,7 @@ def _build_engine(args):
     from genomax.engine.executor import Engine
 
     cfg = EngineConfig(
-        pair_tile=args.pair_tile,
+        unroll=args.unroll,
         backend=args.backend,
     )
     sw_cfg = SWConfig(
@@ -45,7 +45,8 @@ def _build_engine(args):
 
 def _add_engine_args(p):
     p.add_argument("--backend", default="auto", choices=["auto", "pallas", "lax"])
-    p.add_argument("--pair-tile", type=int, default=8)
+    p.add_argument("--unroll", type=int, default=32,
+                   help="wavefront steps per loop iteration (tuning knob)")
     p.add_argument("--interpret", action="store_true", help="Pallas interpreter mode")
     p.add_argument("--match", type=int, default=1)
     p.add_argument("--mismatch", type=int, default=-1)
@@ -108,7 +109,7 @@ def cmd_bench(args) -> int:
 
     run_sweep(
         lengths=[int(x) for x in args.lengths.split(",")],
-        pair_tiles=[int(x) for x in args.pair_tiles.split(",")],
+        unrolls=[int(x) for x in args.unrolls.split(",")],
         num_alignments=args.num,
         backend=args.backend,
         json_out=args.json,
@@ -150,7 +151,7 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("bench", help="length x config GCUPS sweep")
     p.add_argument("--lengths", default="64,128,256,512,1024")
-    p.add_argument("--pair-tiles", default="8,32,128")
+    p.add_argument("--unrolls", default="8,16,32")
     p.add_argument("--num", type=int, default=25000, help="alignments per point")
     p.add_argument("--backend", default="auto")
     p.add_argument("--json", help="write results as JSON to this path")

@@ -52,19 +52,19 @@ class PairHMMConfig:
 @dataclasses.dataclass(frozen=True)
 class EngineConfig:
     """Per-chip executor knobs (the TPU analog of the reference's
-    block-size sweep, hiprun.sh:27-39)."""
+    block-size sweep, hiprun.sh:27-39). A tile is always 128 pairs — the
+    VPU lane width (kernels/wavefront.py LANES)."""
 
-    # Pairs per Pallas grid step (sublane-dim tile). Multiple of 8 (f32/i32
-    # sublane tiling; int16 tiles want multiples of 16).
-    pair_tile: int = 32
-    # Lane-dim quantum for padded diagonal buffers. Multiple of 128.
-    lane_quantum: int = 128
-    # Bucket pair-count padding quantum == pair_tile.
+    # Sublane-dim padding quantum for the packed position axis. Multiple
+    # of 8 (the f32/i32 sublane quantum).
+    lane_quantum: int = 8
+    # Python-unrolled wavefront steps per fori_loop iteration (SW).
+    unroll: int = 32
     # Backend: "pallas" (TPU / interpret), "lax" (pure-JAX wavefront).
     backend: str = "auto"
     # Re-scale check period for the PairHMM fp32 exponent tracking (== the
     # kernel's unrolled block length).
-    rescale_period: int = 8
+    rescale_period: int = 16
     # PairHMM results below this log10 threshold (or non-finite) are
     # recomputed through the native fp64 golden model — the fp32 TPU fast
     # path covers the overwhelmingly common case, exactly like GATK/GKL's

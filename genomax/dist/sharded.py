@@ -1,14 +1,15 @@
-"""Sharded (multi-chip) scoring: pairs data-parallel over the mesh,
+"""Sharded (multi-chip) scoring: pair tiles data-parallel over the mesh,
 per-pair results all-gathered over ICI — the reference's inter-alignment
 parallelism (one CUDA block per pair, smithWaterman.cu:466 /
 pairHMM.cu:616) promoted to the chip level.
 
 Everything runs under shard_map so each chip executes the same wavefront
-kernel on its shard of the packed batch; `jax.lax.all_gather` merges the
-score vectors. The PairHMM haplotype panel is replicated per chip by
-construction (each packed pair row carries its own haplotype stream —
-cross-product materialization happens at pack time), matching the
-replicated-panel / sharded-reads layout in BASELINE.json.
+kernel on its shard of the packed tile batch (the leading NT dim of the
+sublane-major tiles); `jax.lax.all_gather` merges the (NT, 128) score
+tiles. The PairHMM haplotype panel is replicated per chip by construction
+(each packed pair slot carries its own haplotype stream — cross-product
+materialization happens at pack time), matching the replicated-panel /
+sharded-reads layout in BASELINE.json.
 """
 
 from __future__ import annotations
@@ -22,56 +23,47 @@ from jax.experimental.shard_map import shard_map
 
 from genomax.config import SWConfig
 from genomax.dist.mesh import DATA_AXIS
-
-
-def _pick(backend: str):
-    """Per-shard kernel implementations."""
-    if backend == "pallas":
-        from genomax.kernels.pairhmm_pallas import pairhmm_forward_pallas
-        from genomax.kernels.sw_pallas import sw_forward_pallas
-
-        return sw_forward_pallas, pairhmm_forward_pallas
-    return None, None
+from genomax.engine.executor import flatten_tiles
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "pair_tile", "n_diags", "cfg", "backend", "interpret"),
+    static_argnames=("mesh", "n_diags", "cfg", "unroll", "backend", "interpret"),
 )
 def sw_forward_sharded(
-    sx,
-    sy,
+    sx,  # (NT, NXs, 128)
+    sy,  # (NT, NDs, 128)
     nx,
     ny,
-    ndiag_tile,
+    ndiag_tile,  # (NT,)
     *,
     mesh,
-    pair_tile: int = 8,
     n_diags: int = 0,
     cfg: SWConfig = SWConfig(),
+    unroll: int = 32,
     backend: str = "lax",
     interpret: bool = False,
 ):
-    """Batched SW over a device mesh. The pair dimension (and the per-tile
+    """Batched SW over a device mesh. The tile dimension (and the per-tile
     diagonal counts) are sharded along the data axis; every chip returns
-    its shard's scores and the full vector is all-gathered.
-
-    Row count must divide by (#devices * pair_tile).
-    """
+    its shard's (NT_local, 128) scores and the full tile batch is
+    all-gathered. NT must divide by #devices."""
 
     def shard_fn(sx_s, sy_s, nx_s, ny_s, nd_s):
         if backend == "pallas":
             from genomax.kernels.sw_pallas import sw_forward_pallas
 
             local = sw_forward_pallas(
-                sx_s, sy_s, nd_s,
-                pair_tile=pair_tile, cfg=cfg, interpret=interpret,
+                sx_s, sy_s, nd_s, cfg=cfg, unroll=unroll, interpret=interpret,
             )
         else:
             from genomax.kernels.wavefront import sw_forward_dense
 
-            local = sw_forward_dense(sx_s, sy_s, nx_s, ny_s, n_diags=n_diags, cfg=cfg)
-        # Merge per-chip score shards over ICI.
+            local = sw_forward_dense(
+                flatten_tiles(sx_s), flatten_tiles(sy_s), nx_s, ny_s,
+                n_diags=n_diags, cfg=cfg,
+            ).reshape(sx_s.shape[0], 128)
+        # Merge per-chip score tile shards over ICI.
         return jax.lax.all_gather(local, DATA_AXIS, tiled=True)
 
     spec = P(DATA_AXIS)
@@ -86,24 +78,23 @@ def sw_forward_sharded(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "pair_tile", "n_diags", "rescale_period", "backend", "interpret"),
+    static_argnames=("mesh", "n_diags", "rescale_period", "backend", "interpret"),
 )
 def pairhmm_forward_sharded(
-    rchar,
+    rchar,  # (NT, NXs, 128)
     qr,
     mmv,
     gapm,
     qi,
     qd,
     qg,
-    hap,
-    meta,
-    rl,
+    hap,  # (NT, NDs, 128)
+    meta,  # (NT, 8, 128)
+    rl,  # (NT*128,)
     hl,
-    ndiag_tile,
+    ndiag_tile,  # (NT,)
     *,
     mesh,
-    pair_tile: int = 8,
     n_diags: int = 0,
     rescale_period: int = 16,
     backend: str = "lax",
@@ -118,16 +109,18 @@ def pairhmm_forward_sharded(
 
             local = pairhmm_forward_pallas(
                 rchar_s, qr_s, mmv_s, gapm_s, qi_s, qd_s, qg_s, hap_s, meta_s,
-                nd_s, pair_tile=pair_tile, rescale_period=rescale_period,
-                interpret=interpret,
+                nd_s, rescale_period=rescale_period, interpret=interpret,
             )
         else:
             from genomax.kernels.wavefront import phmm_forward_dense
 
             local = phmm_forward_dense(
-                rchar_s, qr_s, mmv_s, gapm_s, qi_s, qd_s, qg_s, hap_s,
+                flatten_tiles(rchar_s), flatten_tiles(qr_s),
+                flatten_tiles(mmv_s), flatten_tiles(gapm_s),
+                flatten_tiles(qi_s), flatten_tiles(qd_s),
+                flatten_tiles(qg_s), flatten_tiles(hap_s),
                 rl_s, hl_s, n_diags=n_diags, rescale_period=rescale_period,
-            )
+            ).reshape(rchar_s.shape[0], 128)
         return jax.lax.all_gather(local, DATA_AXIS, tiled=True)
 
     spec = P(DATA_AXIS)

@@ -2,10 +2,9 @@
 
 Replaces the reference host mains (smithWaterman.cu:371-499,
 pairHMM.cu:370-654): parse → pack/bucket → dispatch kernels → restore
-output order. Kernel launches are jit-compiled once per (bucket shape,
-pair_tile) and cached by JAX; the Pallas grid pipeline overlaps HBM→VMEM
-streaming with compute, replacing the reference's per-string cudaMemcpy
-loop.
+output order. Kernel launches are jit-compiled once per bucket shape and
+cached by JAX; the Pallas grid pipeline overlaps HBM→VMEM streaming with
+compute, replacing the reference's per-string cudaMemcpy loop.
 
 Backends:
   * "pallas" — the Pallas TPU kernels (or interpreter when interpret=True).
@@ -35,7 +34,7 @@ class RunStats:
 
     n_jobs: int = 0
     dp_cells: int = 0  # true interior DP cells
-    padded_cells: int = 0  # lanes * diagonals actually swept
+    padded_cells: int = 0  # sublanes * diagonals actually swept
     pack_s: float = 0.0
     exec_s: float = 0.0
     buckets: int = 0
@@ -89,11 +88,16 @@ def _phmm_dense_jit(*args, **kw):
     return _DENSE_JITS[1](*args, **kw)
 
 
-def _meta2(col0: np.ndarray, col1: np.ndarray) -> np.ndarray:
-    m = np.zeros((len(col0), 128), dtype=np.int32)
-    m[:, 0] = col0
-    m[:, 1] = col1
-    return m
+def flatten_tiles(x):
+    """(NT, R, 128) sublane-major tiles -> (R, NT*128) dense batch (the
+    lax twin's layout: positions on axis 0, all pairs on axis 1).
+    int8 code arrays widen to the kernels' int32 here."""
+    import jax.numpy as jnp
+
+    x = jnp.asarray(x)
+    if x.dtype == jnp.int8:
+        x = x.astype(jnp.int32)
+    return jnp.moveaxis(x, 0, 1).reshape(x.shape[1], -1)
 
 
 class Engine:
@@ -123,18 +127,17 @@ class Engine:
                 jnp.asarray(b.sx),
                 jnp.asarray(b.sy),
                 jnp.asarray(b.ndiag_tile),
-                pair_tile=b.pair_tile,
                 cfg=self.sw_cfg,
+                unroll=self.cfg.unroll,
                 interpret=self.interpret,
             )
-        from genomax.engine.executor import _sw_dense_jit
 
         return _sw_dense_jit(
-            jnp.asarray(b.sx),
-            jnp.asarray(b.sy),
+            flatten_tiles(b.sx),
+            flatten_tiles(b.sy),
             jnp.asarray(b.nx),
             jnp.asarray(b.ny),
-            n_diags=b.max_diags,
+            n_diags=-(-b.max_diags // 32) * 32,  # round up: fewer recompiles
             cfg=self.sw_cfg,
         )
 
@@ -142,16 +145,19 @@ class Engine:
         """Scores for SWPair jobs, in input order."""
         stats = RunStats(n_jobs=len(pairs))
         t0 = time.perf_counter()
-        buckets = pack_sw_pairs(pairs, self.cfg.pair_tile, self.cfg.lane_quantum)
+        buckets = pack_sw_pairs(pairs, self.cfg.lane_quantum)
         stats.pack_s = time.perf_counter() - t0
         stats.buckets = len(buckets)
         for b in buckets:
             stats.dp_cells += int(((b.nx - 1).astype(np.int64) * (b.ny - 1)).sum())
-            stats.padded_cells += int(b.sx.shape[1]) * int(
-                (b.ndiag_tile.astype(np.int64) * b.pair_tile).sum()
+            stats.padded_cells += int(b.sx.shape[1]) * 128 * int(
+                b.ndiag_tile.astype(np.int64).sum()
             )
         t0 = time.perf_counter()
-        results = [np.asarray(self._sw_bucket(b)) for b in buckets]
+        # Dispatch all buckets asynchronously, then block once: per-call
+        # host/launch latency overlaps device execution.
+        pending = [self._sw_bucket(b) for b in buckets]
+        results = [np.asarray(r) for r in pending]
         stats.exec_s = time.perf_counter() - t0
         self.last_stats = stats
         return unpack_scores(buckets, results, len(pairs), np.int32)
@@ -178,26 +184,25 @@ class Engine:
                 jnp.asarray(b.qd),
                 jnp.asarray(b.qg),
                 jnp.asarray(b.hap),
-                jnp.asarray(_meta2(b.rl, b.hl)),
+                jnp.asarray(b.meta),
                 jnp.asarray(b.ndiag_tile),
-                pair_tile=b.pair_tile,
                 rescale_period=self.cfg.rescale_period,
                 interpret=self.interpret,
             )
-        from genomax.engine.executor import _phmm_dense_jit
 
         return _phmm_dense_jit(
-            jnp.asarray(b.rchar),
-            jnp.asarray(b.qr),
-            jnp.asarray(b.mmv),
-            jnp.asarray(b.gapm),
-            jnp.asarray(b.qi),
-            jnp.asarray(b.qd),
-            jnp.asarray(b.qg),
-            jnp.asarray(b.hap),
+            flatten_tiles(b.rchar),
+            flatten_tiles(b.qr),
+            flatten_tiles(b.mmv),
+            flatten_tiles(b.gapm),
+            flatten_tiles(b.qi),
+            flatten_tiles(b.qd),
+            flatten_tiles(b.qg),
+            flatten_tiles(b.hap),
             jnp.asarray(b.rl),
             jnp.asarray(b.hl),
-            n_diags=b.max_diags,
+            n_diags=-(-b.max_diags // self.cfg.rescale_period)
+            * self.cfg.rescale_period,
             rescale_period=self.cfg.rescale_period,
         )
 
@@ -209,7 +214,6 @@ class Engine:
         t0 = time.perf_counter()
         buckets, n = pack_pairhmm_batches(
             batches,
-            self.cfg.pair_tile,
             self.cfg.lane_quantum,
             self.phmm_cfg.phred_offset,
         )
@@ -218,11 +222,12 @@ class Engine:
         stats.buckets = len(buckets)
         for b in buckets:
             stats.dp_cells += int((b.rl.astype(np.int64) * b.hl).sum())
-            stats.padded_cells += int(b.rchar.shape[1]) * int(
-                (b.ndiag_tile.astype(np.int64) * b.pair_tile).sum()
+            stats.padded_cells += int(b.rchar.shape[1]) * 128 * int(
+                b.ndiag_tile.astype(np.int64).sum()
             )
         t0 = time.perf_counter()
-        results = [np.asarray(self._phmm_bucket(b)) for b in buckets]
+        pending = [self._phmm_bucket(b) for b in buckets]
+        results = [np.asarray(r) for r in pending]
         stats.exec_s = time.perf_counter() - t0
         out = unpack_scores(buckets, results, n, np.float32)
         out = self._phmm_fallback(batches, out, stats)

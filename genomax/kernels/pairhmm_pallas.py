@@ -1,12 +1,13 @@
 """Pallas TPU kernel: batched PairHMM forward (fp32 + exponent tracking).
 
-TPU-native successor of align1thread (pairHMM.cu:249-368): one sublane-tile
-of read×haplotype pairs per grid step, M/X/Y rotating diagonals as VMEM
-lane vectors, haplotype chars consumed as a reversed diagonal stream
-rotated one lane per step, all per-base quality arrays lane-fixed. The
-reference needs fp64 and a DBL_MAX/16 scaling constant; the TPU kernel
-runs fp32 with a per-pair power-of-two exponent shift (see
-kernels/wavefront.py docstring), rescaled once per unrolled block.
+TPU-native successor of align1thread (pairHMM.cu:249-368): one lane-tile
+of 128 read×haplotype pairs per grid step, M/X/Y rotating diagonals as
+sublane-major (NXs, 128) VMEM vectors, haplotype chars consumed through
+dynamic-offset sublane loads of the reversed stream, all per-base quality
+arrays sublane-fixed. The reference needs fp64 and a DBL_MAX/16 scaling
+constant; the TPU kernel runs fp32 with a per-pair power-of-two exponent
+shift (see kernels/wavefront.py docstring), rescaled once per unrolled
+block.
 """
 
 from __future__ import annotations
@@ -19,6 +20,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from genomax.kernels.wavefront import (
+    LANES,
     phmm_finalize,
     phmm_make_consts,
     phmm_make_state,
@@ -47,24 +49,30 @@ def _kernel(
 ):
     t = pl.program_id(0)
     nd = nd_ref[t]
-    b, nxp = rchar_ref.shape
+    nxs = rchar_ref.shape[1]
 
     if interpret:
-        roll1 = functools.partial(jnp.roll, shift=1, axis=1)
+        roll1 = functools.partial(jnp.roll, shift=1, axis=0)
     else:
-        roll1 = lambda x: pltpu.roll(x, 1, axis=1)  # noqa: E731
+        roll1 = lambda x: pltpu.roll(x, 1, axis=0)  # noqa: E731
 
-    meta = meta_ref[:]
+    nds = hap_ref.shape[1]
+
+    def window(d):
+        return hap_ref[0, pl.ds(nds - nxs - d, nxs), :]
+
+    meta = meta_ref[0]
     c = phmm_make_consts(
-        rchar_ref[:],
-        qr_ref[:],
-        mmv_ref[:],
-        gapm_ref[:],
-        qi_ref[:],
-        qd_ref[:],
-        qg_ref[:],
-        meta[:, 0:1],
-        meta[:, 1:2],
+        rchar_ref[0],
+        qr_ref[0],
+        mmv_ref[0],
+        gapm_ref[0],
+        qi_ref[0],
+        qd_ref[0],
+        qg_ref[0],
+        meta[0:1],
+        meta[1:2],
+        window,
         roll1,
     )
 
@@ -74,75 +82,74 @@ def _kernel(
     def block(state, d):
         return phmm_rescale(state, d, c)
 
-    zscr[:] = jnp.zeros((b, nxp), jnp.float32)
+    zscr[:] = jnp.zeros((nxs, LANES), jnp.float32)
     state = wavefront_sweep(
-        nd, phmm_make_state(hap_ref[:], zscr[:]), body, unroll=unroll,
-        block_fn=block,
+        nd, phmm_make_state(zscr[:]), body, unroll=unroll, block_fn=block
     )
-    res = phmm_finalize(state).reshape(b, 1)
+    res = phmm_finalize(state).reshape(1, LANES)
     out_ref[:] = jnp.broadcast_to(res, out_ref.shape)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("pair_tile", "rescale_period", "interpret")
+    jax.jit, static_argnames=("rescale_period", "interpret")
 )
 def pairhmm_forward_pallas(
-    rchar: jax.Array,  # (NP, NX) int32 lane-fixed read codes
-    qr: jax.Array,  # (NP, NX) f32 — and mmv/gapm/qi/qd/qg likewise
+    rchar: jax.Array,  # (NT, NXs, 128) int32 sublane-fixed read codes
+    qr: jax.Array,  # (NT, NXs, 128) f32 — and mmv/gapm/qi/qd/qg likewise
     mmv: jax.Array,
     gapm: jax.Array,
     qi: jax.Array,
     qd: jax.Array,
     qg: jax.Array,
-    hap: jax.Array,  # (NP, ND) int32 reversed diagonal stream
-    meta: jax.Array,  # (NP, 128) int32: lane0=read_len, lane1=hap_len
-    ndiag_tile: jax.Array,  # (NP // pair_tile,) int32
-    pair_tile: int = 32,
-    rescale_period: int = 8,  # == the unrolled block length
+    hap: jax.Array,  # (NT, NDs, 128) int32 reversed diagonal stream
+    meta: jax.Array,  # (NT, 8, 128) int32: row0=read_len, row1=hap_len
+    ndiag_tile: jax.Array,  # (NT,) int32
+    rescale_period: int = 16,  # == the unrolled block length
     interpret: bool = False,
 ) -> jax.Array:
-    """Returns (NP,) f32 log10 likelihoods (reference-constant-relative)."""
-    n_pairs, nxp = rchar.shape
-    ndp = hap.shape[1]
-    assert n_pairs % pair_tile == 0
-    n_tiles = n_pairs // pair_tile
-    b = pair_tile
+    """Returns (NT, 128) f32 log10 likelihoods (reference-constant-relative)."""
+    rchar = rchar.astype(jnp.int32)  # int8 on the wire, int32 in VMEM
+    hap = hap.astype(jnp.int32)
+    nt, nxs, _ = rchar.shape
+    nds = hap.shape[1]
 
-    def vspec(lanes):
-        return pl.BlockSpec((b, lanes), lambda t, nd: (t, 0), memory_space=pltpu.VMEM)
+    def vspec(rows):
+        return pl.BlockSpec((1, rows, LANES), lambda t, nd: (t, 0, 0),
+                            memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_tiles,),
+        grid=(nt,),
         in_specs=[
-            vspec(nxp),  # rchar
-            vspec(nxp),  # qr
-            vspec(nxp),  # mmv
-            vspec(nxp),  # gapm
-            vspec(nxp),  # qi
-            vspec(nxp),  # qd
-            vspec(nxp),  # qg
-            vspec(ndp),  # hap (reversed stream)
-            vspec(128),  # meta
+            vspec(nxs),  # rchar
+            vspec(nxs),  # qr
+            vspec(nxs),  # mmv
+            vspec(nxs),  # gapm
+            vspec(nxs),  # qi
+            vspec(nxs),  # qd
+            vspec(nxs),  # qg
+            vspec(nds),  # hap (reversed stream)
+            vspec(8),  # meta
         ],
-        out_specs=vspec(128),
-        scratch_shapes=[pltpu.VMEM((pair_tile, nxp), jnp.float32)],
+        out_specs=pl.BlockSpec((8, LANES), lambda t, nd: (t, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((nxs, LANES), jnp.float32)],
     )
 
     cost = pl.CostEstimate(
-        flops=int(n_pairs) * int(nxp) * int(ndp) * 30,
+        flops=int(nt) * int(nxs) * int(nds) * LANES * 20,
         bytes_accessed=int(rchar.size * 8 + hap.size) * 4,
-        transcendentals=int(n_pairs),
+        transcendentals=int(nt) * LANES,
     )
 
     out = pl.pallas_call(
         functools.partial(_kernel, unroll=rescale_period, interpret=interpret),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_pairs, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nt * 8, LANES), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         cost_estimate=cost,
         interpret=interpret,
     )(ndiag_tile, rchar, qr, mmv, gapm, qi, qd, qg, hap, meta)
-    return out[:, 0]
+    return out[::8]

@@ -5,38 +5,43 @@ TPU-first formulation (this is NOT how the reference lays it out — the
 reference strides one CUDA thread window along each diagonal with
 __syncthreads barriers, smithWaterman.cu:283-344 / pairHMM.cu:274-343):
 
-  * One anti-diagonal of one DP matrix lives along the VPU **lane** axis;
-    a tile of independent pairs lives along the **sublane** axis. All
-    state is (B, lanes) arrays — the rotating 3-diagonal window of the
-    reference (antidiagonalSmithWaterman.c:96-184) becomes loop carries.
-  * Neighbor access along the diagonal is a lane roll (shift-by-one).
+  * **Sublane-major layout**: one anti-diagonal of one DP matrix lives
+    along the VPU **sublane** axis (position p of the x/read sequence =
+    sublane p); a tile of 128 independent pairs lives along the **lane**
+    axis. All state is (NXs, 128) arrays — the rotating 3-diagonal window
+    of the reference (antidiagonalSmithWaterman.c:96-184) becomes loop
+    carries. Measured on v5e: sublane rolls cost ~1 cycle/vreg vs ~3-5
+    for lane rolls, and the position axis pads to a multiple of 8
+    (sublane quantum) instead of 128 — together ~2x over the
+    lane-major layout.
+  * Neighbor access along the diagonal is a sublane roll (shift-by-one).
     Shifted copies of the previous diagonal are carried forward so each
-    step rolls only the values it just produced (3 rolls/step for SW,
-    4 for PairHMM).
-  * The streamed second sequence enters as a *reversed diagonal stream*:
-    rotating the packed (B, ND) buffer right by one lane per step lands
-    the code needed by lane k at diagonal d — a pure circular rotation,
-    no inserts, no dynamic indexing (see pack/bucketing.py).
+    step rolls only the values it just produced (2 rolls/step for SW,
+    3 for PairHMM).
+  * The streamed second sequence enters as a *reversed diagonal stream*
+    buffer: the window needed at diagonal d is rows [NDs-1-d, NDs-1-d+NXs)
+    — a dynamic-offset sublane slice, which TPU loads natively (no
+    shuffle at all; lane-dim dynamic slices would need 128-alignment).
   * The running result (SW max / PairHMM last-row likelihood sum) is
-    accumulated into a lane *vector*; the cross-lane reduction happens
-    once at the end. Zero per-step cross-lane reductions.
+    accumulated into a sublane *vector*; the cross-sublane reduction
+    happens once at the end. Zero per-step cross-sublane reductions.
   * Loop-invariant masks/constants are hoisted into a per-sweep "consts"
     bundle computed once.
 
 SW int semantics: the reference's -infinity is INT_MIN with a saturating
-add (antidiagonalSmithWaterman.c:38,86-88). Here -infinity is a *finite*
-soft sentinel with plain adds — provably score-identical: D >= 0 at every
-cell (the max-with-0), so the D-derived candidate in the P/Q maxes is
->= gap_open+gap_extend, while any sentinel-derived chain stays below
-sentinel+len and can never win a max or wrap. This removes two compare+
-select pairs per step and admits an int16 kernel (sentinel -2**14) for a
-2x VPU throughput win whenever sequences are short enough that
-|score| + |sentinel| + len < 32768.
-
-SW padding codes: packed sx pads with code 1 and the sy stream with code
-2 (never equal, never equal to real bases or '\n'), so out-of-range lanes
-always mismatch, their D decays to 0, and the running max needs NO
-per-pair length masking at all.
+add (antidiagonalSmithWaterman.c:38,86-88). Here the boundary conditions
+are not even materialized: the packing's pad codes (x pads with 1, the
+stream with 2 — never equal to each other or to any real base / '\\n')
+guarantee every out-of-matrix cell mismatches, so D decays to 0, P/Q
+decay to small negatives, and one can prove (D >= 0 at every real cell,
+any pad-derived chain enters the real region at least gap_open below a
+real D-derived candidate and can never win a max) that the recurrences
+applied uniformly over the full (NXs, 128) tile — boundaries, pads,
+wrap-around lanes and all, with NO masking whatsoever — produce exactly
+the reference's scores. This removes ~8 ops from a ~13-op inner loop.
+The same argument covers the i==0 row, the j==0 column, sublane
+wrap-around under the roll, and lanes whose pair ended many diagonals
+ago. Differential tests vs the full-matrix oracle cover all of these.
 
 PairHMM numerics: TPU has no fp64. The reference keeps magnitudes afloat
 with a DBL_MAX/16 initial constant (pairHMMmatrix.c:43-46). Here the
@@ -47,7 +52,11 @@ value carries are multiplied by 2**80 and the final log10 result is
 shifted back. The likelihood accumulator carries its own exponent (see
 phmm_step). This supports >70 decimal orders of within-diagonal dynamic
 range and unbounded total range; the engine routes anything deeper to
-the native fp64 golden model (GKL-style fallback).
+the native fp64 golden model (GKL-style fallback). PairHMM's boundary
+analysis mirrors SW's: M/X decay to exact zeros outside the matrix
+(pad positions carry qr=qi=qg=0 and guaranteed-mismatch codes), only the
+row-0 Y = 2**120/hap_len constant needs one select per step, and the
+accumulator mask bounds j <= hap_len.
 """
 
 from __future__ import annotations
@@ -69,24 +78,38 @@ PHMM_RESCALE_LOG10 = 80 * 0.30102999566398120  # log10(2**80)
 PHMM_INIT_LOG10 = 120 * 0.30102999566398120
 _N_CODE = ord("N")
 
-# Soft -infinity sentinels (see module docstring for the equivalence
-# argument). int16 kernels require len(sy) <= SW_I16_MAX_LEN.
-NEG_SOFT_I32 = -(2**30)
-NEG_SOFT_I16 = -(2**14)
-SW_I16_MAX_LEN = 8000
+# Pairs per tile: the VPU lane width. Fixed by hardware.
+LANES = 128
+# Pad codes (see module docstring): x-axis pads with 1, stream with 2.
+PAD_X = 1
+PAD_STREAM = 2
+
+
+def stream_window(buf, d, nxs):
+    """Rows [A-d, A-d+nxs) of the reversed stream buffer, A = NDs-nxs:
+    sublane s of the window holds stream[d-1-s] — the code that cell
+    (x=s, y=d-s) compares against (buf[k] = stream[A-1-k], codes packed
+    at [A-len, A)). Pure dynamic-offset load, in bounds for every
+    d < A (packing sets A >= n_diags + MAX_UNROLL, covering the sweep's
+    round-up overshoot).
+
+    This is the lax/dense form (dynamic_slice on a value); the Pallas
+    kernels load the same window straight off the VMEM ref with pl.ds
+    (value-level dynamic_slice has no Pallas TPU lowering)."""
+    nds = buf.shape[0]
+    return jax.lax.dynamic_slice_in_dim(buf, nds - nxs - d, nxs, axis=0)
 
 
 def wavefront_sweep(nd, state, step_fn, unroll: int, block_fn=None):
     """Run the wavefront: ceil(nd/unroll) outer iterations, each tracing
     ``unroll`` python-unrolled steps (static inner trip count → no
-    per-diagonal loop overhead on the TPU scalar core, and 100x faster
-    Mosaic compiles than a dynamic-bound single-step loop). ``block_fn``
-    (the PairHMM rescale) runs once per block, keeping lax.cond out of
-    the hot path entirely.
+    per-diagonal loop overhead on the TPU scalar core). ``block_fn``
+    (the PairHMM rescale) runs once per block, keeping its cross-sublane
+    reduction out of the hot path entirely.
 
     May run up to unroll-1 diagonals past ``nd``; that is harmless by the
-    masking invariants (cells past a pair's last diagonal never pass the
-    result masks, and garbage lanes never feed valid cells)."""
+    pad-decay invariants (cells past a pair's last diagonal never pass
+    the result masks, and pad cells never feed valid cells)."""
 
     def outer(c, st):
         base = c * unroll
@@ -109,103 +132,78 @@ def wavefront_sweep(nd, state, step_fn, unroll: int, block_fn=None):
 class SWConsts:
     """Loop-invariant values, computed once per sweep."""
 
-    sxb: Any  # (B, NX) lane-fixed codes (lane j = sx[j-1])
-    col0: Any  # (B, NX) bool: lane 0 (the j==0 boundary column)
-    jj: Any  # (B, NX) lane iota, same dtype as the DP values
-    subm: Any  # (B, NX) match-score vector (concrete layout: a select
+    sxb: Any  # (NXs, L) sublane-fixed codes (sublane p = sx[p-1])
+    subm: Any  # (NXs, L) match-score vector (concrete layout: a select
     subx: Any  # with two scalar splat branches trips Mosaic relayout)
-    neg: int  # soft -inf sentinel for this dtype
+    window: Callable  # d -> (NXs, L) stream window (see stream_window)
     roll1: Callable
     cfg: SWConfig
 
 
-def sw_make_consts(sxb, roll1, cfg: SWConfig) -> SWConsts:
-    b, nxp = sxb.shape
-    dt = sxb.dtype
-    # 16-bit iota isn't supported by the hardware; widen-then-narrow.
-    jj = jax.lax.broadcasted_iota(jnp.int32, (b, nxp), 1).astype(dt)
-    neg = NEG_SOFT_I16 if dt == jnp.int16 else NEG_SOFT_I32
+def sw_make_consts(sxb, window, roll1, cfg: SWConfig) -> SWConsts:
     zero = sxb - sxb
     return SWConsts(
-        sxb=sxb, col0=jj == 0, jj=jj, subm=zero + cfg.match,
-        subx=zero + cfg.mismatch, neg=neg, roll1=roll1, cfg=cfg,
+        sxb=sxb, subm=zero + cfg.match, subx=zero + cfg.mismatch,
+        window=window, roll1=roll1, cfg=cfg,
     )
 
 
-def sw_make_state(sy_rev, z):
-    """Initial (P1, D1, D1s, Q1s, D2s, syb, mx) carries — syb is the
-    full-width (B, ND) rotating reversed stream; D1s/Q1s/D2s are the
-    carried roll-by-one copies of the previous diagonals.
+def sw_make_state(z):
+    """Initial (P1, D1, D1s, Q1s, D2s, mx) carries; all zero.
 
-    ``z``: a (B, NX) zero template of the DP dtype. Inside Pallas kernels
-    this must be zeros round-tripped through a VMEM scratch buffer:
-    Mosaic folds constant zeros (even ``x * 0``) into splats with a
-    replicated vector layout, which cannot be reconciled with the loop
+    ``z``: a (NXs, L) zero template of the DP dtype. Inside Pallas
+    kernels this must be zeros round-tripped through a VMEM scratch
+    buffer: Mosaic folds constant zeros (even ``x * 0``) into splats with
+    a replicated vector layout, which cannot be reconciled with the loop
     body's computed layout ("Invalid relayout" compile errors); a memory
     load always has the standard layout."""
-    return (z, z, z, z, z, sy_rev, z)
+    return (z, z, z, z, z, z)
 
 
 def sw_step(d, state, c: SWConsts):
     """Compute anti-diagonal d of P/Q/D from diagonals d-1 and d-2
-    (recurrences at antidiagonalSmithWaterman.c:309-335, boundaries
-    :290-306 — the j==0 column is applied first so the i==0 row wins at
-    (0,0), matching the reference's check order).
-
-    Rotation invariant: after this step's rotation, syb lane j holds
-    sy[d-1-j] — the sy code cell (i=d-j, j) compares against.
-    """
-    P1, D1, D1s, Q1s, D2s, syb, mx = state
+    (recurrences at antidiagonalSmithWaterman.c:309-335; boundaries
+    :290-306 arise from pad-code decay, see module docstring; the
+    gap-open+extend add is hoisted into D's max since P/Q are carried
+    in open-relative form: P' = P - (open+extend))."""
+    P1, D1, D1s, Q1s, D2s, mx = state
     cfg = c.cfg
     og_e = cfg.gap_open + cfg.gap_extend
 
-    syb = c.roll1(syb)
-    syw = syb[:, : c.sxb.shape[1]]
+    syw = c.window(d)
 
-    # P/Q/D recurrences with plain adds (soft sentinel; see module doc).
-    Pn = jnp.maximum(D1 + og_e, P1 + cfg.gap_extend)
-    Qn = jnp.maximum(D1s + og_e, Q1s + cfg.gap_extend)
+    Pn = jnp.maximum(D1, P1 + cfg.gap_extend)
+    Qn = jnp.maximum(D1s, Q1s + cfg.gap_extend)
     sub = jnp.where(syw == c.sxb, c.subm, c.subx)
-    Dn = jnp.maximum(jnp.maximum(Pn, Qn), jnp.maximum(D2s + sub, 0))
-
-    # Boundaries: column j==0, then row i==0 (lane j == d).
-    Pn = jnp.where(c.col0, 0, Pn)
-    Qn = jnp.where(c.col0, c.neg, Qn)
-    Dn = jnp.where(c.col0, 0, Dn)
-    row0 = c.jj == jnp.asarray(d).astype(c.jj.dtype)
-    Pn = jnp.where(row0, c.neg, Pn)
-    Qn = jnp.where(row0, 0, Qn)
-    Dn = jnp.where(row0, 0, Dn)
-
-    # Unmasked running max: pad codes guarantee out-of-range cells decay
-    # to 0 and D >= 0 everywhere (antidiagonalSmithWaterman.c:335).
+    Dn = jnp.maximum(
+        jnp.maximum(Pn, Qn) + og_e, jnp.maximum(D2s + sub, 0)
+    )
     mx = jnp.maximum(mx, Dn)
-
-    return (Pn, Dn, c.roll1(Dn), c.roll1(Qn), D1s, syb, mx)
+    return (Pn, Dn, c.roll1(Dn), c.roll1(Qn), D1s, mx)
 
 
 def sw_forward_dense(
     sx, sy_rev, nx, ny, n_diags, cfg: SWConfig = SWConfig(), unroll: int = 8
 ):
-    """Pure-JAX batched SW over densely packed pairs (the 'lax' backend and
-    the differential twin of the Pallas kernel).
+    """Pure-JAX batched SW over densely packed pairs (the 'lax' backend
+    and the differential twin of the Pallas kernel).
 
-    sx: (B, NX) int16/int32 lane-fixed codes; sy_rev: (B, ND) reversed
-    diagonal stream (same dtype); nx, ny: (B,) int32 true dims (len+1,
-    unused — kept for API parity with bucketing metadata); n_diags: loop
-    bound. Returns (B,) int32 scores.
+    sx: (NXs, L) int32 sublane-fixed codes; sy_rev: (NDs, L) reversed
+    diagonal stream; nx, ny: (L,) int32 true dims (len+1, unused — kept
+    for API parity with bucketing metadata); n_diags: loop bound.
+    Returns (L,) int32 scores.
     """
     del nx, ny  # lengths are encoded via pad codes; see module docstring
-    b, nxp = sx.shape
-    roll1 = functools.partial(jnp.roll, shift=1, axis=1)
-    c = sw_make_consts(sx, roll1, cfg)
+    roll1 = functools.partial(jnp.roll, shift=1, axis=0)
+    window = functools.partial(stream_window, sy_rev, nxs=sx.shape[0])
+    c = sw_make_consts(sx, window, roll1, cfg)
 
     def body(d, state):
         return sw_step(d, state, c)
 
-    z = jnp.zeros((b, nxp), sx.dtype)
-    state = wavefront_sweep(n_diags, sw_make_state(sy_rev, z), body, unroll)
-    return jnp.max(state[6].astype(jnp.int32), axis=1)
+    z = jnp.zeros(sx.shape, sx.dtype)
+    state = wavefront_sweep(n_diags, sw_make_state(z), body, unroll)
+    return jnp.max(state[5].astype(jnp.int32), axis=0)
 
 
 # ---------------------------------------------------------------------------
@@ -217,27 +215,31 @@ def sw_forward_dense(
 class PhmmConsts:
     """Loop-invariant values, computed once per sweep."""
 
-    rchar: Any  # (B, NX) lane-fixed read codes (lane i = R[i-1])
-    pm: Any  # (B, NX) 1 - Qr  (match emission)
-    qr: Any  # (B, NX) Qr      (mismatch emission)
-    mmv: Any  # (B, NX) 1 - (Qi + Qd)
-    gapm: Any  # (B, NX) 1 - Qg
+    rchar: Any  # (NXs, L) sublane-fixed read codes (sublane i = R[i-1])
+    pm: Any  # (NXs, L) 1 - Qr  (match emission)
+    qr: Any  # (NXs, L) Qr      (mismatch emission)
+    mmv: Any  # (NXs, L) 1 - (Qi + Qd)
+    gapm: Any  # (NXs, L) 1 - Qg
     qi: Any
     qd: Any
     qg: Any
-    rn: Any  # (B, NX) bool: read base is 'N'
-    row0: Any  # (B, NX) bool: lane 0
-    rlmask: Any  # (B, NX) bool: lane == read_len (the result row)
-    y0: Any  # (B, 1) f32: 2**120 / hap_len
-    rl: Any  # (B, 1) int32
-    hl: Any  # (B, 1) int32
-    ii: Any  # (B, NX) int32 lane iota
+    rn: Any  # (NXs, L) bool: read base is 'N'
+    row0: Any  # (NXs, L) bool: sublane 0
+    rlmask: Any  # (NXs, L) bool: sublane == read_len (the result row)
+    y0row: Any  # (NXs, L) f32: 2**120 / hap_len at sublane 0, 0 elsewhere
+    rl: Any  # (1, L) int32
+    hl: Any  # (1, L) int32
+    ii: Any  # (NXs, L) int32 sublane iota
+    window: Callable  # d -> (NXs, L) haplotype stream window
     roll1: Callable
 
 
-def phmm_make_consts(rchar, qr, mmv, gapm, qi, qd, qg, rl, hl, roll1) -> PhmmConsts:
-    b, nxp = qr.shape
-    ii = jax.lax.broadcasted_iota(jnp.int32, (b, nxp), 1)
+def phmm_make_consts(rchar, qr, mmv, gapm, qi, qd, qg, rl, hl, window,
+                     roll1) -> PhmmConsts:
+    nxs, L = qr.shape
+    ii = jax.lax.broadcasted_iota(jnp.int32, (nxs, L), 0)
+    row0 = ii == 0
+    y0 = (2.0**PHMM_INIT_LOG2) / jnp.maximum(hl, 1).astype(jnp.float32)
     return PhmmConsts(
         rchar=rchar,
         pm=1.0 - qr,
@@ -248,35 +250,43 @@ def phmm_make_consts(rchar, qr, mmv, gapm, qi, qd, qg, rl, hl, roll1) -> PhmmCon
         qd=qd,
         qg=qg,
         rn=rchar == _N_CODE,
-        row0=ii == 0,
+        row0=row0,
         rlmask=ii == rl,
-        y0=(2.0**PHMM_INIT_LOG2) / jnp.maximum(hl, 1).astype(jnp.float32),
+        y0row=jnp.where(row0, y0, 0.0),
         rl=rl,
         hl=hl,
         ii=ii,
+        window=window,
         roll1=roll1,
     )
 
 
-def phmm_make_state(hap_rev, z):
-    """(M1, Y1, M1s, X1s, Y1s, M2s, X2s, Y2s, hb, acc, cmul, acc_log).
+def phmm_make_state(z):
+    """(M1, Y1, M1s, X1s, Y1s, M2s, X2s, Y2s, acc, cmul, acc_log).
 
     M1/Y1 are the previous diagonal unshifted; *1s are its roll-by-one
     copies; *2s are the roll-by-one copies of the diagonal before it
     (carried forward — each step only rolls what it just computed).
-    hap_rev: (B, ND) reversed haplotype stream; z: (B, NX) f32 zero
-    template (see sw_make_state layout note).
+    z: (NXs, L) f32 zero template (see sw_make_state layout note).
     """
-    zc = z[:, 0:1]
-    return (z, z, z, z, z, z, z, z, hap_rev, z, zc + 1.0, zc)
+    zc = z[0:1]
+    return (z, z, z, z, z, z, z, z, z, zc + 1.0, zc)
 
 
 def phmm_step(d, state, c: PhmmConsts):
     """Compute anti-diagonal d of M/X/Y (pairHMMmatrix.c:49-55).
 
-    Lane axis = read index i; all per-base arrays are lane-fixed (lane i
-    holds quality index i-1). hb rotation invariant: after this step's
-    roll, hb lane i holds H[d-1-i] = H[j-1] for the cell (i, j=d-i).
+    Sublane axis = read index i; all per-base arrays are sublane-fixed
+    (sublane i holds quality index i-1). The stream window invariant:
+    sublane i of the window at diagonal d holds H[d-1-i] = H[j-1] for
+    the cell (i, j=d-i).
+
+    Boundary handling (module docstring): M/X/Y are exact zeros at all
+    out-of-matrix cells by pad-code decay (pads carry qr=qi=qg=0 and
+    guaranteed-mismatch codes, so every product chain is zero); only the
+    row-0 Y = 2**120/hap_len constant is injected, via one add of the
+    precomputed one-row vector y0row (row-0 M,X are naturally zero, and
+    Yn's recurrence contributes exact 0 at row 0, so add == select).
 
     Scaling invariants: the M/X/Y diagonals carry a shared per-pair scale
     (rescale events push it up by 2**80, phmm_rescale); the likelihood
@@ -286,13 +296,12 @@ def phmm_step(d, state, c: PhmmConsts):
     is small, then freezes; frozen-scale contributions that underflow
     cmul are provably below fp32 summation noise. The row-0 constant
     never rescales: a rescale can only fire once rows 0/1 have left the
-    valid window (lane-0 Y is pinned at 2**120/hl >= 2**106, far above
+    valid window (row-0 Y is pinned at 2**120/hl >= 2**106, far above
     the 2**40 trigger), and valid cells only consume in-window values.
     """
-    M1, Y1, M1s, X1s, Y1s, M2s, X2s, Y2s, hb, acc, cmul, acc_log = state
+    M1, Y1, M1s, X1s, Y1s, M2s, X2s, Y2s, acc, cmul, acc_log = state
 
-    hb = c.roll1(hb)
-    hw = hb[:, : c.rchar.shape[1]]
+    hw = c.window(d)
 
     # emission p() (pairHMMmatrix.c:32-34)
     match = (c.rchar == hw) | c.rn | (hw == _N_CODE)
@@ -300,22 +309,13 @@ def phmm_step(d, state, c: PhmmConsts):
 
     Mn = p * (c.mmv * M2s + c.gapm * (X2s + Y2s))
     Xn = M1s * c.qi + X1s * c.qg
-    Yn = M1 * c.qd + Y1 * c.qg
-
-    # boundaries: col j==0 (lane i==d) zeros; row i==0 (lane 0) Y=y0
-    col0 = c.ii == d
-    Mn = jnp.where(col0, 0.0, Mn)
-    Xn = jnp.where(col0, 0.0, Xn)
-    Yn = jnp.where(col0, 0.0, Yn)
-    Mn = jnp.where(c.row0, 0.0, Mn)
-    Xn = jnp.where(c.row0, 0.0, Xn)
-    Yn = jnp.where(c.row0, c.y0, Yn)
+    Yn = M1 * c.qd + Y1 * c.qg + c.y0row
 
     # Last-row likelihood accumulation (antidiagsPairHMM.c:206-212): the
-    # cell (read_len, j) lands at lane rl exactly once per diagonal, in
-    # increasing-j order — the reference's summation order. Cells with
+    # cell (read_len, j) lands at sublane rl exactly once per diagonal,
+    # in increasing-j order — the reference's summation order. Cells with
     # j > hap_len are masked out; j <= 0 contributes exact zeros (col-0
-    # boundary / untouched lanes), so no lower-bound check is needed.
+    # zeros / untouched sublanes), so no lower-bound check is needed.
     lmask = c.rlmask & (c.ii >= d - c.hl)
     acc = acc + jnp.where(lmask, (Mn + Xn) * cmul, 0.0)
 
@@ -328,7 +328,6 @@ def phmm_step(d, state, c: PhmmConsts):
         M1s,
         X1s,
         Y1s,
-        hb,
         acc,
         cmul,
         acc_log,
@@ -343,14 +342,19 @@ def phmm_rescale(state, d, c: PhmmConsts):
     diagonal can exceed the newer one by the per-diagonal decay, and it
     is multiplied by the same factor, so it must bound the overflow
     headroom (trigger 2**40 * factor 2**80 <= 2**120 << FLT_MAX).
-    Unconditional in dataflow terms: rows not rescaling multiply by 1.0.
-    """
-    M1, Y1, M1s, X1s, Y1s, M2s, X2s, Y2s, hb, acc, cmul, acc_log = state
+    Unconditional in dataflow terms: lanes not rescaling multiply by 1.0.
+
+    The peak is masked to the exactly-live DP window per sublane (the
+    boundary-free step leaves decaying-but-nonzero values at cells past
+    a pair's haplotype end, which must not distort the peak), and the
+    whole rescale is gated on the pair still having live diagonals
+    (d <= rl+hl+1), so finished pairs stop rescaling entirely."""
+    M1, Y1, M1s, X1s, Y1s, M2s, X2s, Y2s, acc, cmul, acc_log = state
     ii, rl, hl = c.ii, c.rl, c.hl
     jv = d - ii
     # window of the current diagonal d (cells (i, d-i))
     v0 = (ii <= rl) & (jv >= 0) & (jv <= hl)
-    # window of shifted copies: lane i holds cell (i-1, *) of diag d-1
+    # window of shifted copies: sublane i holds cell (i-1, *) of diag d-1
     jv1 = (d - 1) - (ii - 1)
     v1 = (ii >= 1) & (ii - 1 <= rl) & (jv1 >= 0) & (jv1 <= hl)
     # window of shifted copies of diag d-2
@@ -365,11 +369,12 @@ def phmm_rescale(state, d, c: PhmmConsts):
     live = jnp.maximum(
         live, jnp.where(v2, jnp.maximum(jnp.maximum(M2s, X2s), Y2s), zero)
     )
-    peak = jnp.max(live, axis=1, keepdims=True)
-    need = (peak > 0.0) & (peak < PHMM_RESCALE_TRIGGER)
+    peak = jnp.max(live, axis=0, keepdims=True)
+    alive = jnp.asarray(d, jnp.int32) <= rl + hl + 1
+    need = alive & (peak > 0.0) & (peak < PHMM_RESCALE_TRIGGER)
     f = jnp.where(need, PHMM_RESCALE_FACTOR, 1.0)
     # The accumulator follows the buffer scale only while small.
-    asum = jnp.max(acc, axis=1, keepdims=True)
+    asum = jnp.max(acc, axis=0, keepdims=True)
     follow = need & (asum < PHMM_RESCALE_TRIGGER)
     return (
         M1 * f,
@@ -380,7 +385,6 @@ def phmm_rescale(state, d, c: PhmmConsts):
         M2s * f,
         X2s * f,
         Y2s * f,
-        hb,
         acc * jnp.where(follow, PHMM_RESCALE_FACTOR, 1.0),
         cmul * jnp.where(need & ~follow, 1.0 / PHMM_RESCALE_FACTOR, 1.0),
         acc_log - jnp.where(follow, PHMM_RESCALE_LOG10, 0.0),
@@ -390,9 +394,9 @@ def phmm_rescale(state, d, c: PhmmConsts):
 def phmm_finalize(state):
     """log10(sum of last-row M+X) minus the scaling constant
     (pairHMMmatrix.c:59-66), exponent shifts folded back in."""
-    acc, acc_log = state[9], state[11]
-    total = jnp.sum(acc, axis=1, keepdims=True)
-    return (jnp.log10(total) + acc_log - PHMM_INIT_LOG10)[:, 0]
+    acc, acc_log = state[8], state[10]
+    total = jnp.sum(acc, axis=0, keepdims=True)
+    return (jnp.log10(total) + acc_log - PHMM_INIT_LOG10)[0]
 
 
 def phmm_forward_dense(
@@ -407,19 +411,21 @@ def phmm_forward_dense(
     rl,
     hl,
     n_diags,
-    rescale_period: int = 8,
+    rescale_period: int = 16,
 ):
     """Pure-JAX batched PairHMM forward (the 'lax' backend).
 
-    rchar: (B, NX) int codes; the 6 quality arrays: (B, NX) f32
-    lane-fixed (lane i = base i-1). hap_rev: (B, ND) int reversed
-    diagonal stream. rl, hl: (B,) true lengths. Returns (B,) f32 log10
+    rchar: (NXs, L) int codes; the 6 quality arrays: (NXs, L) f32
+    sublane-fixed (sublane i = base i-1). hap_rev: (NDs, L) int reversed
+    diagonal stream. rl, hl: (L,) true lengths. Returns (L,) f32 log10
     likelihoods relative to the reference constant.
     """
-    b, nxp = qr.shape
-    roll1 = functools.partial(jnp.roll, shift=1, axis=1)
+    L = qr.shape[1]
+    roll1 = functools.partial(jnp.roll, shift=1, axis=0)
+    window = functools.partial(stream_window, hap_rev, nxs=qr.shape[0])
     c = phmm_make_consts(
-        rchar, qr, mmv, gapm, qi, qd, qg, rl.reshape(b, 1), hl.reshape(b, 1), roll1
+        rchar, qr, mmv, gapm, qi, qd, qg,
+        rl.reshape(1, L), hl.reshape(1, L), window, roll1,
     )
 
     def body(d, state):
@@ -428,9 +434,9 @@ def phmm_forward_dense(
     def block(state, d):
         return phmm_rescale(state, d, c)
 
-    z = jnp.zeros((b, nxp), jnp.float32)
+    z = jnp.zeros(qr.shape, jnp.float32)
     state = wavefront_sweep(
-        n_diags, phmm_make_state(hap_rev, z), body, unroll=rescale_period,
+        n_diags, phmm_make_state(z), body, unroll=rescale_period,
         block_fn=block,
     )
     return phmm_finalize(state)

@@ -1,15 +1,21 @@
 """Ragged-length packing: bucket, pad and lay out alignment jobs as dense
-(B, lanes) tiles for the wavefront kernels.
+sublane-major tiles for the wavefront kernels.
 
 Replaces the reference's one-cudaMalloc-and-cudaMemcpy-per-string host
 loop (smithWaterman.cu:421-454, pairHMM.cu:534-611) with packed dense
 arrays. Ragged lengths (reads 10-247, haps 41-263 in 10s.in) are handled
-exactly by per-pair length masks inside the kernels; bucketing by padded
-shape only controls padding waste and compilation count.
+exactly by the kernels' pad-code decay (see kernels/wavefront.py);
+bucketing by padded shape only controls padding waste and compilation
+count.
 
-Pairs inside a bucket are sorted by diagonal count so that each pair_tile
-runs only as many wavefront steps as its longest member; the original
-order is restored through ``perm`` at unpack time.
+Layout (kernels/wavefront.py): a tile is 128 pairs side by side on the
+VPU lane axis; the x/read sequence runs along sublanes, so the position
+axis pads to a multiple of 8 (sublane quantum) instead of 128 — a ~20%
+padded-cell saving at 512bp on top of the cheaper sublane shifts.
+
+Pairs inside a bucket are sorted by diagonal count so that each 128-pair
+tile runs only as many wavefront steps as its longest member; the
+original order is restored through ``perm`` at unpack time.
 
 PairHMM read×haplotype cross-products are materialized as index maps into
 per-read/per-hap tables and gathered once at pack time (numpy take), not
@@ -24,37 +30,71 @@ import numpy as np
 
 from genomax.io.phred import phred_to_error_prob
 
+# Pairs per tile (VPU lane width) and the sublane padding quantum.
+LANES = 128
+SUB_Q = 8
+# The stream buffer is padded so that the kernels' dynamic window load
+# (rows [NDs-1-d, NDs-1-d+NXs)) stays in bounds for d up to
+# ceil(n_diags/unroll)*unroll - 1, for any unroll <= MAX_UNROLL.
+MAX_UNROLL = 32
+
+PAD_X = 1
+PAD_STREAM = 2
+
 
 def _round_up(x: int, q: int) -> int:
     return max(q, ((x + q - 1) // q) * q)
 
 
-def _quantize_rows(n: int, pair_tile: int) -> int:
-    """Pad a bucket's pair count to pair_tile * 2**k so the number of
-    distinct compiled batch shapes stays bounded (each distinct row count
-    is a separate XLA/Mosaic compilation)."""
-    t = _round_up(n, pair_tile) // pair_tile
-    p = 1
-    while p < t:
-        p *= 2
-    return p * pair_tile
+# ~x1.41 padding ladder (one octave), anchored so the common 512bp+"\n"
+# case (515 rows) lands on 544 (5.6% padding). Scaled by powers of two.
+_LADDER = (16, 24, 32, 48, 64, 96, 136, 192, 272, 384, 544, 768)
+
+
+def _level(x: int, q: int = SUB_Q) -> int:
+    """Geometric padding level: the smallest ladder element >= x. Bounds
+    the number of distinct compiled kernel shapes (~2 per octave) while
+    capping per-dim padding waste at ~41% (typ. ~17%)."""
+    del q
+    scale = 1
+    while True:
+        for lvl in _LADDER:
+            if lvl * scale >= x:
+                return lvl * scale
+        scale *= 2
+
+
+def _quantize_tiles(n: int) -> int:
+    """Pad a bucket's tile count to a quarter-octave level (1,2,3,4,5,6,
+    8,10,12,16,20,24,32,...) so the number of distinct compiled batch
+    shapes stays bounded (each distinct tile count is a separate
+    XLA/Mosaic compilation). Padding tiles sweep 1 diagonal."""
+    t = max(1, (n + LANES - 1) // LANES)
+    if t <= 8:
+        return t
+    q = 1
+    while q * 8 < t:
+        q *= 2
+    return _round_up(t, max(1, q // 2))
 
 
 @dataclasses.dataclass
 class SWPacked:
-    """One shape-bucket of SW jobs, densely packed.
+    """One shape-bucket of SW jobs, densely packed sublane-major.
 
-    sx   : (NP, NX) int32 — lane-fixed codes, lane j holds sx[j-1];
-           out-of-range lanes pad with code 1 (sy pads with 2, so padded
-           cells always mismatch and the kernels need no length masks)
-    sy   : (NP, ND) int32 — the REVERSED diagonal stream: lane ND-1-d
-           holds sy[d-1]. Kernels rotate this buffer right by one lane
-           per wavefront step, which lands sy[d-1-k] at lane k on step d
-           — a pure circular rotation, no inserts or dynamic indexing.
-           ND = round_up(max diagonals, 128)
+    sx   : (NT, NXs, 128) int8 — sublane-fixed codes (widened to
+           int32 on device — 4x less host->device traffic), sublane p of lane
+           l holds that pair's sx[p-1]; out-of-range cells pad with code
+           1 (the stream pads with 2, so padded cells always mismatch and
+           the kernels need no length or boundary masks at all)
+    sy   : (NT, NDs, 128) int8 — the REVERSED diagonal stream: sublane
+           NDs-2-k holds sy[k]. The window the kernel loads at diagonal d
+           is rows [NDs-1-d, NDs-1-d+NXs) — sublane s of it holds
+           sy[d-1-s], the code cell (x=s, y=d-s) compares against.
     nx,ny: (NP,) int32 — true matrix dims (len+1); padding rows use 1
-    ndiag_tile: (NP // pair_tile,) int32 — max nx+ny-1 within each tile
-    perm : (n_valid,) int64 — original pair index of packed row r (< n_valid)
+    ndiag_tile: (NT,) int32 — max nx+ny-1 within each 128-pair tile
+    perm : (n_valid,) int64 — original pair index of packed slot r
+           (slot r = tile r//128, lane r%128)
     """
 
     sx: np.ndarray
@@ -64,7 +104,6 @@ class SWPacked:
     ndiag_tile: np.ndarray
     perm: np.ndarray
     n_valid: int
-    pair_tile: int
 
     @property
     def max_diags(self) -> int:
@@ -73,13 +112,13 @@ class SWPacked:
 
 @dataclasses.dataclass
 class PairHMMPacked:
-    """One shape-bucket of read×haplotype jobs.
+    """One shape-bucket of read×haplotype jobs, sublane-major.
 
-    Lane axis = read position (lane i holds base/quality index i-1).
-    rchar: (NP, NX) int32; qr/mmv/gapm/qi/qd/qg: (NP, NX) float32;
-    hap: (NP, ND) int32 reversed diagonal stream (see SWPacked.sy);
-    rl/hl: (NP,) int32 true lengths.
-    """
+    Sublane axis = read position (sublane i holds base/quality index
+    i-1). rchar: (NT, NXs, 128) int8; qr/mmv/gapm/qi/qd/qg: same shape
+    float32; hap: (NT, NDs, 128) int8 reversed diagonal stream (see
+    SWPacked.sy); meta: (NT, 8, 128) int32, row 0 = read_len, row 1 =
+    hap_len; rl/hl: (NP,) int32 true lengths (flat, for stats)."""
 
     rchar: np.ndarray
     qr: np.ndarray
@@ -89,68 +128,113 @@ class PairHMMPacked:
     qd: np.ndarray
     qg: np.ndarray
     hap: np.ndarray
+    meta: np.ndarray
     rl: np.ndarray
     hl: np.ndarray
     ndiag_tile: np.ndarray
     perm: np.ndarray
     n_valid: int
-    pair_tile: int
 
     @property
     def max_diags(self) -> int:
         return int(self.ndiag_tile.max())
 
 
-def _tile_ndiags(ndiags: np.ndarray, pair_tile: int) -> np.ndarray:
-    return ndiags.reshape(-1, pair_tile).max(axis=1).astype(np.int32)
+def _tile_ndiags(ndiags: np.ndarray) -> np.ndarray:
+    return ndiags.reshape(-1, LANES).max(axis=1).astype(np.int32)
 
 
-def pack_sw_pairs(
-    pairs, pair_tile: int = 8, lane_quantum: int = 128
-) -> list[SWPacked]:
+def pad_tiles_to(bucket, multiple: int):
+    """Pad a packed bucket's tile count to a multiple (for sharding the
+    tile dim over a device mesh). Pad tiles carry all-pad codes and sweep
+    a single diagonal."""
+    nt = bucket.ndiag_tile.shape[0]
+    want = _round_up(nt, multiple)
+    if want == nt:
+        return bucket
+    extra = want - nt
+
+    def padt(a, fill):
+        pad = np.full((extra,) + a.shape[1:], fill, a.dtype)
+        return np.concatenate([a, pad], axis=0)
+
+    kw = {}
+    for f in dataclasses.fields(bucket):
+        v = getattr(bucket, f.name)
+        if f.name == "ndiag_tile":
+            kw[f.name] = padt(v, 1)
+        elif f.name in ("sx", "rchar"):
+            kw[f.name] = padt(v, PAD_X)
+        elif f.name in ("sy", "hap"):
+            kw[f.name] = padt(v, PAD_STREAM)
+        elif isinstance(v, np.ndarray) and v.ndim >= 2 and v.shape[0] == nt:
+            kw[f.name] = padt(v, 0)
+        elif isinstance(v, np.ndarray) and v.ndim == 1 and v.shape[0] == nt * LANES:
+            fill = 1 if f.name in ("hl", "nx", "ny") else 0
+            pad = np.full(extra * LANES, fill, v.dtype)
+            kw[f.name] = np.concatenate([v, pad])
+        else:
+            kw[f.name] = v
+    return type(bucket)(**kw)
+
+
+def _to_tiles(flat: np.ndarray) -> np.ndarray:
+    """(NT*128, NXs) row-major slots -> (NT, NXs, 128) sublane-major."""
+    nt = flat.shape[0] // LANES
+    return np.ascontiguousarray(
+        flat.reshape(nt, LANES, -1).swapaxes(1, 2)
+    )
+
+
+def pack_sw_pairs(pairs, lane_quantum: int = SUB_Q) -> list[SWPacked]:
     """Bucket and pack SWPair jobs. Sequences are raw bytes (the '\\n'
     quirk is preserved upstream by the parser: a trailing newline byte is
     part of the sequence)."""
     n = len(pairs)
     sx_len = np.array([len(p.sx) for p in pairs], dtype=np.int64)
     sy_len = np.array([len(p.sy) for p in pairs], dtype=np.int64)
-    nxq = np.array([_round_up(int(l) + 2, lane_quantum) for l in sx_len])
-    nyq = np.array([_round_up(int(l) + 1, lane_quantum) for l in sy_len])
+    nxq = np.array([_level(int(l) + 2, lane_quantum) for l in sx_len])
+    nyq = np.array([_level(int(l) + 1, lane_quantum) for l in sy_len])
 
     out = []
     for key in sorted(set(zip(nxq.tolist(), nyq.tolist()))):
-        nxp, nyp = key
-        idx = np.nonzero((nxq == nxp) & (nyq == nyp))[0]
+        nxs, nyp = key
+        idx = np.nonzero((nxq == nxs) & (nyq == nyp))[0]
         ndiags = (sx_len[idx] + sy_len[idx] + 1).astype(np.int64)
         order = np.argsort(ndiags, kind="stable")
         idx = idx[order]
-        np_pad = _quantize_rows(len(idx), pair_tile)
-        ndp = _round_up(int(ndiags.max()), lane_quantum)
+        nt = _quantize_tiles(len(idx))
+        slots = nt * LANES
+        # Stream anchor A: window(d) = buf[A-d, A-d+nxs); codes at
+        # [A-len, A). A >= ndiags + MAX_UNROLL keeps every sweep read
+        # (incl. unroll overshoot) in bounds.
+        anchor = _round_up(int(ndiags.max()) + MAX_UNROLL, SUB_Q)
+        nds = anchor + nxs
 
-        # int16 would double VPU throughput but v5e Mosaic lacks i16
-        # rotate/iota/compare; keep int32 until a packed-i32 scheme lands.
-        sx = np.full((np_pad, nxp), 1, dtype=np.int32)
-        sy = np.full((np_pad, ndp), 2, dtype=np.int32)
-        nx = np.ones(np_pad, dtype=np.int32)
-        ny = np.ones(np_pad, dtype=np.int32)
+        sx = np.full((slots, nxs), PAD_X, dtype=np.int8)
+        sy = np.full((slots, nds), PAD_STREAM, dtype=np.int8)
+        nx = np.ones(slots, dtype=np.int32)
+        ny = np.ones(slots, dtype=np.int32)
         for r, gi in enumerate(idx):
             p = pairs[gi]
             sx[r, 1 : len(p.sx) + 1] = np.frombuffer(p.sx, np.uint8)
-            sy[r, 1 : len(p.sy) + 1] = np.frombuffer(p.sy, np.uint8)
+            # reversed stream: buf[anchor-1-k] holds sy[k]
+            sy[r, anchor - len(p.sy) : anchor] = np.frombuffer(
+                p.sy, np.uint8
+            )[::-1]
             nx[r] = len(p.sx) + 1
             ny[r] = len(p.sy) + 1
-        sy = sy[:, ::-1].copy()  # reversed diagonal stream (see docstring)
         ndiag = (nx.astype(np.int64) + ny - 1).astype(np.int32)
+        ndiag[len(idx):] = 1
         out.append(
             SWPacked(
-                sx=sx,
-                sy=sy,
+                sx=_to_tiles(sx),
+                sy=_to_tiles(sy),
                 nx=nx,
                 ny=ny,
-                ndiag_tile=_tile_ndiags(ndiag, pair_tile),
+                ndiag_tile=_tile_ndiags(ndiag),
                 perm=idx,
                 n_valid=len(idx),
-                pair_tile=pair_tile,
             )
         )
     assert sum(b.n_valid for b in out) == n
@@ -158,17 +242,18 @@ def pack_sw_pairs(
 
 
 def unpack_scores(buckets, results, n_total: int, dtype=np.int32) -> np.ndarray:
-    """Scatter per-bucket kernel outputs back to original pair order."""
+    """Scatter per-bucket kernel outputs back to original pair order.
+    Kernel outputs are (NT, 128) per bucket; slot r = (r//128, r%128)."""
     out = np.zeros(n_total, dtype=dtype)
     for b, r in zip(buckets, results):
-        out[b.perm] = np.asarray(r)[: b.n_valid]
+        flat = np.asarray(r).reshape(-1)
+        out[b.perm] = flat[: b.n_valid]
     return out
 
 
 def pack_pairhmm_batches(
     batches,
-    pair_tile: int = 8,
-    lane_quantum: int = 128,
+    lane_quantum: int = SUB_Q,
     phred_offset: float = 33.0,
 ) -> tuple[list[PairHMMPacked], int]:
     """Flatten batches into the global read-major pair list (the reference
@@ -204,28 +289,33 @@ def pack_pairhmm_batches(
     n = len(jobs_r)
     rlen = np.array([len(r[0]) for r in reads], dtype=np.int64)[jobs_r]
     hlen = np.array([len(h) for h in haps], dtype=np.int64)[jobs_h]
-    nxq = np.array([_round_up(int(l) + 2, lane_quantum) for l in rlen])
-    nyq = np.array([_round_up(int(l) + 1, lane_quantum) for l in hlen])
+    nxq = np.array([_level(int(l) + 2, lane_quantum) for l in rlen])
+    nyq = np.array([_level(int(l) + 1, lane_quantum) for l in hlen])
 
     out = []
     for key in sorted(set(zip(nxq.tolist(), nyq.tolist()))):
-        nxp, nyp = key
-        idx = np.nonzero((nxq == nxp) & (nyq == nyp))[0]
+        nxs, nyp = key
+        idx = np.nonzero((nxq == nxs) & (nyq == nyp))[0]
         order = np.argsort(rlen[idx] + hlen[idx], kind="stable")
         idx = idx[order]
-        np_pad = _quantize_rows(len(idx), pair_tile)
-        ndp = _round_up(int((rlen[idx] + hlen[idx] + 1).max()), lane_quantum)
+        nt = _quantize_tiles(len(idx))
+        slots = nt * LANES
+        # Stream anchor: see pack_sw_pairs.
+        anchor = _round_up(
+            int((rlen[idx] + hlen[idx] + 1).max()) + MAX_UNROLL, SUB_Q
+        )
+        nds = anchor + nxs
 
-        rchar = np.full((np_pad, nxp), 1, dtype=np.int32)
-        qr = np.zeros((np_pad, nxp), dtype=np.float32)
-        mmv = np.zeros((np_pad, nxp), dtype=np.float32)
-        gapm = np.zeros((np_pad, nxp), dtype=np.float32)
-        qi = np.zeros((np_pad, nxp), dtype=np.float32)
-        qd = np.zeros((np_pad, nxp), dtype=np.float32)
-        qg = np.zeros((np_pad, nxp), dtype=np.float32)
-        hap = np.full((np_pad, ndp), 2, dtype=np.int32)
-        rl = np.zeros(np_pad, dtype=np.int32)
-        hl = np.ones(np_pad, dtype=np.int32)
+        rchar = np.full((slots, nxs), PAD_X, dtype=np.int8)
+        qr = np.zeros((slots, nxs), dtype=np.float32)
+        mmv = np.zeros((slots, nxs), dtype=np.float32)
+        gapm = np.zeros((slots, nxs), dtype=np.float32)
+        qi = np.zeros((slots, nxs), dtype=np.float32)
+        qd = np.zeros((slots, nxs), dtype=np.float32)
+        qg = np.zeros((slots, nxs), dtype=np.float32)
+        hap = np.full((slots, nds), PAD_STREAM, dtype=np.int8)
+        rl = np.zeros(slots, dtype=np.int32)
+        hl = np.ones(slots, dtype=np.int32)
         for r, gi in enumerate(idx):
             bases, Qr, Qi, Qd, Qg = reads[jobs_r[gi]]
             L = len(bases)
@@ -237,27 +327,30 @@ def pack_pairhmm_batches(
             qd[r, 1 : L + 1] = Qd
             qg[r, 1 : L + 1] = Qg
             h = haps[jobs_h[gi]]
-            hap[r, 1 : len(h) + 1] = h
+            hap[r, anchor - len(h) : anchor] = h[::-1]
             rl[r] = L
             hl[r] = len(h)
-        hap = hap[:, ::-1].copy()  # reversed diagonal stream
         ndiag = (rl.astype(np.int64) + hl + 1).astype(np.int32)
+        ndiag[len(idx):] = 1
+        meta = np.zeros((slots, 8), dtype=np.int32)
+        meta[:, 0] = rl
+        meta[:, 1] = hl
         out.append(
             PairHMMPacked(
-                rchar=rchar,
-                qr=qr,
-                mmv=mmv,
-                gapm=gapm,
-                qi=qi,
-                qd=qd,
-                qg=qg,
-                hap=hap,
+                rchar=_to_tiles(rchar),
+                qr=_to_tiles(qr),
+                mmv=_to_tiles(mmv),
+                gapm=_to_tiles(gapm),
+                qi=_to_tiles(qi),
+                qd=_to_tiles(qd),
+                qg=_to_tiles(qg),
+                hap=_to_tiles(hap),
+                meta=_to_tiles(meta),
                 rl=rl,
                 hl=hl,
-                ndiag_tile=_tile_ndiags(ndiag, pair_tile),
+                ndiag_tile=_tile_ndiags(ndiag),
                 perm=idx,
                 n_valid=len(idx),
-                pair_tile=pair_tile,
             )
         )
     assert sum(b.n_valid for b in out) == n

@@ -10,11 +10,10 @@ import jax.numpy as jnp
 
 from genomax.dist.mesh import make_mesh
 from genomax.dist.sharded import pairhmm_forward_sharded, sw_forward_sharded
-from genomax.engine.executor import _meta2
 from genomax.io.formats import SWPair
 from genomax.io.generator import generate_pairhmm_batch
 from genomax.kernels import oracle
-from genomax.pack.bucketing import pack_pairhmm_batches, pack_sw_pairs
+from genomax.pack.bucketing import pack_pairhmm_batches, pack_sw_pairs, pad_tiles_to
 
 
 @pytest.fixture(scope="module")
@@ -32,36 +31,34 @@ def test_sw_sharded_matches_oracle(mesh):
     rng = np.random.default_rng(42)
     pairs = []
     for _ in range(64):
-        a = rng.choice(list(b"ATGC"), size=int(rng.integers(3, 40))).astype(np.uint8).tobytes()
-        b = rng.choice(list(b"ATGC"), size=int(rng.integers(3, 40))).astype(np.uint8).tobytes()
+        a = rng.choice(list(b"ATGC"), size=int(rng.integers(26, 31))).astype(np.uint8).tobytes()
+        b = rng.choice(list(b"ATGC"), size=int(rng.integers(26, 31))).astype(np.uint8).tobytes()
         if len(a) > len(b):
             a, b = b, a
         pairs.append(SWPair(sx=a, sy=b))
-    buckets = pack_sw_pairs(pairs, pair_tile=8)
-    assert len(buckets) == 1
-    bk = buckets[0]
-    got_packed = sw_forward_sharded(
-        jnp.asarray(bk.sx),
-        jnp.asarray(bk.sy),
-        jnp.asarray(bk.nx),
-        jnp.asarray(bk.ny),
-        jnp.asarray(bk.ndiag_tile),
-        mesh=mesh,
-        pair_tile=8,
-        n_diags=bk.max_diags,
-        backend="lax",
-    )
     got = np.zeros(len(pairs), np.int32)
-    got[bk.perm] = np.asarray(got_packed)[: bk.n_valid]
+    for bucket in pack_sw_pairs(pairs):
+        bk = pad_tiles_to(bucket, 8)
+        got_packed = sw_forward_sharded(
+            jnp.asarray(bk.sx),
+            jnp.asarray(bk.sy),
+            jnp.asarray(bk.nx),
+            jnp.asarray(bk.ny),
+            jnp.asarray(bk.ndiag_tile),
+            mesh=mesh,
+            n_diags=bk.max_diags,
+            backend="lax",
+        )
+        got[bk.perm] = np.asarray(got_packed).reshape(-1)[: bk.n_valid]
     want = oracle.sw_scores_pairs(pairs)
     np.testing.assert_array_equal(got, want)
 
 
 def test_pairhmm_sharded_matches_oracle(mesh):
     batch = generate_pairhmm_batch(8, 8, read_len=19, hap_len=23, seed=9)
-    buckets, n = pack_pairhmm_batches([batch], pair_tile=8)
+    buckets, n = pack_pairhmm_batches([batch])
     assert len(buckets) == 1
-    bk = buckets[0]
+    bk = pad_tiles_to(buckets[0], 8)
     got_packed = pairhmm_forward_sharded(
         jnp.asarray(bk.rchar),
         jnp.asarray(bk.qr),
@@ -71,16 +68,15 @@ def test_pairhmm_sharded_matches_oracle(mesh):
         jnp.asarray(bk.qd),
         jnp.asarray(bk.qg),
         jnp.asarray(bk.hap),
-        jnp.asarray(_meta2(bk.rl, bk.hl)),
+        jnp.asarray(bk.meta),
         jnp.asarray(bk.rl),
         jnp.asarray(bk.hl),
         jnp.asarray(bk.ndiag_tile),
         mesh=mesh,
-        pair_tile=8,
         n_diags=bk.max_diags,
         backend="lax",
     )
     got = np.zeros(n, np.float32)
-    got[bk.perm] = np.asarray(got_packed)[: bk.n_valid]
+    got[bk.perm] = np.asarray(got_packed).reshape(-1)[: bk.n_valid]
     want = oracle.pairhmm_batch_log10(batch)
     np.testing.assert_allclose(got, want, atol=2e-4)

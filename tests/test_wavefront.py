@@ -15,7 +15,7 @@ from genomax.kernels import oracle
 
 @pytest.fixture(scope="module")
 def eng():
-    return Engine(EngineConfig(backend="lax", pair_tile=8))
+    return Engine(EngineConfig(backend="lax"))
 
 
 def _random_pairs(rng, n, lo, hi, alphabet=b"ATGC", newline=True):
@@ -87,7 +87,7 @@ def test_pairhmm_deep_decay_rescale():
     # ~1e-4, total ~1e-4*rl, well past fp32 range without rescaling.
     # Fallback disabled so the fp32 path itself is what's verified.
     eng = Engine(
-        EngineConfig(backend="lax", pair_tile=8, phmm_fallback_threshold=None)
+        EngineConfig(backend="lax", phmm_fallback_threshold=None)
     )
     batch = generate_pairhmm_batch(1, 1, read_len=60, hap_len=70, seed=21)
     batch.reads[0].bases = b"A" * 60
