@@ -29,6 +29,9 @@ def log(*a):
 
 
 def main():
+    import genomax
+
+    genomax.setup_compilation_cache()
     import jax.numpy as jnp
 
     from genomax.io.formats import SWPair, parse_pairhmm_file
@@ -73,7 +76,7 @@ def main():
         f"(ref GPU best {REF_GPU_GCUPS_512} GCUPS / 110.10 ms; "
         f"ref C {REF_C_GCUPS} GCUPS)")
 
-    # ---- secondary: PairHMM on the repo test set ----
+    # ---- secondary: PairHMM parity (10s.in) + production-scale GCUPS ----
     try:
         from genomax.engine.executor import Engine
         from genomax.config import EngineConfig
@@ -88,8 +91,32 @@ def main():
         dt = time.time() - t0
         want = np.loadtxt(os.path.join(golden, "10s.golden.out"))
         err = float(np.abs(np.asarray(v, np.float64) - want).max())
-        log(f"PairHMM 10s.in: {dt*1e3:.0f} ms end-to-end, "
-            f"{eng.last_stats.gcups:.2f} GCUPS kernel, max|err|={err:.1e}")
+        log(f"PairHMM 10s.in: {dt*1e3:.0f} ms end-to-end, max|err|={err:.1e} "
+            f"(ref C full-matrix: 590 ms)")
+
+        # Production-scale throughput: GATK-like 151bp reads x 300bp haps.
+        import jax.numpy as jnp2  # noqa: F401
+        from genomax.io.generator import generate_pairhmm_batch
+        from genomax.kernels.pairhmm_pallas import pairhmm_forward_pallas
+        from genomax.pack.bucketing import pack_pairhmm_batches
+
+        big = generate_pairhmm_batch(1024, 8, read_len=151, hap_len=300, seed=0)
+        bks, _ = pack_pairhmm_batches([big])
+        b = bks[0]
+        dev = tuple(jnp.asarray(x) for x in (b.rchar, b.qr, b.mmv, b.gapm,
+                                             b.qi, b.qd, b.qg, b.hap, b.meta,
+                                             b.ndiag_tile))
+        np.asarray(pairhmm_forward_pallas(*dev))
+        bestp = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            outs = [pairhmm_forward_pallas(*dev) for _ in range(3)]
+            for o in outs:
+                np.asarray(o)
+            bestp = min(bestp, (time.time() - t0) / 3)
+        pc = int((b.rl.astype(np.int64) * b.hl).sum())
+        log(f"PairHMM 8192x151x300: {bestp*1e3:.0f} ms = {pc/bestp/1e9:.2f} "
+            f"GCUPS (ref C {0.106} GCUPS)")
     except Exception as e:  # secondary must not break the headline line
         log(f"PairHMM secondary failed: {e!r}")
 

@@ -108,6 +108,9 @@ class Engine:
         phmm_cfg: PairHMMConfig = PairHMMConfig(),
         interpret: bool = False,
     ):
+        import genomax
+
+        genomax.setup_compilation_cache()
         self.cfg = cfg
         self.sw_cfg = sw_cfg
         self.phmm_cfg = phmm_cfg

@@ -52,10 +52,13 @@ _LADDER = (16, 24, 32, 48, 64, 96, 136, 192, 272, 384, 544, 768)
 
 
 def _level(x: int, q: int = SUB_Q) -> int:
-    """Geometric padding level: the smallest ladder element >= x. Bounds
-    the number of distinct compiled kernel shapes (~2 per octave) while
-    capping per-dim padding waste at ~41% (typ. ~17%)."""
+    """Geometric padding level: the smallest ladder element >= x, floored
+    at 64. Bounds the number of distinct compiled kernel shapes (~2 per
+    octave) while capping per-dim padding waste at ~41% (typ. ~17%).
+    The floor merges tiny-read buckets: their compute is negligible but
+    every extra bucket costs a ~10ms kernel launch and a Mosaic compile."""
     del q
+    x = max(x, 64)
     scale = 1
     while True:
         for lvl in _LADDER:
@@ -193,13 +196,12 @@ def pack_sw_pairs(pairs, lane_quantum: int = SUB_Q) -> list[SWPacked]:
     n = len(pairs)
     sx_len = np.array([len(p.sx) for p in pairs], dtype=np.int64)
     sy_len = np.array([len(p.sy) for p in pairs], dtype=np.int64)
+    # Bucket by the x (sublane) level only — see pack_pairhmm_batches.
     nxq = np.array([_level(int(l) + 2, lane_quantum) for l in sx_len])
-    nyq = np.array([_level(int(l) + 1, lane_quantum) for l in sy_len])
 
     out = []
-    for key in sorted(set(zip(nxq.tolist(), nyq.tolist()))):
-        nxs, nyp = key
-        idx = np.nonzero((nxq == nxs) & (nyq == nyp))[0]
+    for nxs in sorted(set(nxq.tolist())):
+        idx = np.nonzero(nxq == nxs)[0]
         ndiags = (sx_len[idx] + sy_len[idx] + 1).astype(np.int64)
         order = np.argsort(ndiags, kind="stable")
         idx = idx[order]
@@ -289,13 +291,15 @@ def pack_pairhmm_batches(
     n = len(jobs_r)
     rlen = np.array([len(r[0]) for r in reads], dtype=np.int64)[jobs_r]
     hlen = np.array([len(h) for h in haps], dtype=np.int64)[jobs_h]
+    # Bucket by the read (sublane) level only: the haplotype length only
+    # sizes the per-bucket stream buffer and each tile's sweep bound
+    # (tiles are sorted by diagonal count), so splitting on it would just
+    # multiply kernel launches (~10ms fixed cost each).
     nxq = np.array([_level(int(l) + 2, lane_quantum) for l in rlen])
-    nyq = np.array([_level(int(l) + 1, lane_quantum) for l in hlen])
 
     out = []
-    for key in sorted(set(zip(nxq.tolist(), nyq.tolist()))):
-        nxs, nyp = key
-        idx = np.nonzero((nxq == nxs) & (nyq == nyp))[0]
+    for nxs in sorted(set(nxq.tolist())):
+        idx = np.nonzero(nxq == nxs)[0]
         order = np.argsort(rlen[idx] + hlen[idx], kind="stable")
         idx = idx[order]
         nt = _quantize_tiles(len(idx))
