@@ -200,8 +200,11 @@ def pack_sw_pairs(pairs, lane_quantum: int = SUB_Q) -> list[SWPacked]:
     nxq = np.array([_level(int(l) + 2, lane_quantum) for l in sx_len])
 
     out = []
-    for nxs in sorted(set(nxq.tolist())):
-        idx = np.nonzero(nxq == nxs)[0]
+    for lvl in sorted(set(nxq.tolist())):
+        idx = np.nonzero(nxq == lvl)[0]
+        # The ladder only GROUPS; pad to the bucket's actual max (8-quantum)
+        # — e.g. the 512bp+newline case packs at 520 rows, not 544.
+        nxs = _round_up(int(sx_len[idx].max()) + 2, SUB_Q)
         ndiags = (sx_len[idx] + sy_len[idx] + 1).astype(np.int64)
         order = np.argsort(ndiags, kind="stable")
         idx = idx[order]
@@ -298,8 +301,9 @@ def pack_pairhmm_batches(
     nxq = np.array([_level(int(l) + 2, lane_quantum) for l in rlen])
 
     out = []
-    for nxs in sorted(set(nxq.tolist())):
-        idx = np.nonzero(nxq == nxs)[0]
+    for lvl in sorted(set(nxq.tolist())):
+        idx = np.nonzero(nxq == lvl)[0]
+        nxs = _round_up(int(rlen[idx].max()) + 2, SUB_Q)  # see pack_sw_pairs
         order = np.argsort(rlen[idx] + hlen[idx], kind="stable")
         idx = idx[order]
         nt = _quantize_tiles(len(idx))
