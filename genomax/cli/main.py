@@ -80,11 +80,54 @@ def cmd_pairhmm(args) -> int:
 
     eng = _build_engine(args)
     batches = parse_pairhmm_file(args.input)
+    if args.resume:
+        return _pairhmm_resumable(args, eng, batches)
     t0 = time.time()
     values = eng.pairhmm(batches)
     elapsed = time.time() - t0
     write_pairhmm_output(args.output, values)
     print("elapsed %f" % elapsed)
+    if args.stats:
+        print(json.dumps(eng.last_stats.as_dict()), file=sys.stderr)
+    return 0
+
+
+def _pairhmm_resumable(args, eng, batches) -> int:
+    """Batch-indexed checkpoint/resume: per-batch output append + a
+    manifest sidecar, so a killed run restarts at the next batch. The
+    reference's batch loop appends output per batch and is naturally
+    resumable but has no mechanism (pairHMM.cu:627-630; SURVEY.md §5)."""
+    import os
+
+    from genomax.io.formats import format_pairhmm_values
+
+    manifest_path = args.output + ".progress.json"
+    done, lines = 0, 0
+    if os.path.exists(manifest_path) and os.path.exists(args.output):
+        with open(manifest_path) as f:
+            m = json.load(f)
+        if m.get("input") == os.path.abspath(args.input):
+            done, lines = int(m["completed_batches"]), int(m["lines"])
+    # Truncate any partial tail past the last checkpointed batch.
+    if done:
+        with open(args.output, "r+") as f:
+            kept = [next(f) for _ in range(lines)]
+            f.seek(0)
+            f.truncate()
+            f.writelines(kept)
+        print(f"resuming at batch {done}/{len(batches)}", file=sys.stderr)
+    else:
+        open(args.output, "w").close()
+    t0 = time.time()
+    for i in range(done, len(batches)):
+        vals = eng.pairhmm([batches[i]])
+        with open(args.output, "a") as f:
+            f.write(format_pairhmm_values(vals))
+        lines += len(vals)
+        with open(manifest_path, "w") as f:
+            json.dump({"input": os.path.abspath(args.input),
+                       "completed_batches": i + 1, "lines": lines}, f)
+    print("elapsed %f" % (time.time() - t0))
     if args.stats:
         print(json.dumps(eng.last_stats.as_dict()), file=sys.stderr)
     return 0
@@ -127,6 +170,9 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="genomax", description="TPU-native pairwise alignment scoring engine"
     )
+    import genomax as _pkg
+
+    ap.add_argument("--version", action="version", version=f"genomax {_pkg.__version__}")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("sw", help="Smith-Waterman affine-gap scores for a pairs file")
@@ -138,6 +184,9 @@ def main(argv=None) -> int:
     p = sub.add_parser("pairhmm", help="PairHMM forward log10 likelihoods")
     p.add_argument("input")
     p.add_argument("output")
+    p.add_argument("--resume", action="store_true",
+                   help="batch-granular checkpoint/resume via a "
+                        "<output>.progress.json manifest")
     _add_engine_args(p)
     p.set_defaults(fn=cmd_pairhmm)
 
@@ -163,7 +212,11 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_parity)
 
     args = ap.parse_args(argv)
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except FileNotFoundError as e:
+        print(f"genomax: error: no such file: {e.filename}", file=sys.stderr)
+        return 2
 
 
 if __name__ == "__main__":

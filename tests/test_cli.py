@@ -1,0 +1,89 @@
+"""CLI-level tests (lax backend on CPU): output formats, quirks,
+checkpoint/resume manifest."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from genomax.cli.main import main
+from genomax.io.generator import generate_pairhmm_batch
+
+
+def _write_pairhmm_input(path, batches):
+    with open(path, "w") as f:
+        for b in batches:
+            f.write(f"{len(b.reads)} {len(b.haplotypes)}\n")
+            for r in b.reads:
+                f.write(" ".join(x.decode() for x in
+                                 (r.bases, r.base_q, r.ins_q, r.del_q, r.gcp_q)) + "\n")
+            for h in b.haplotypes:
+                f.write(h.decode() + "\n")
+
+
+@pytest.fixture()
+def phmm_file(tmp_path):
+    batches = [
+        generate_pairhmm_batch(2, 2, read_len=11, hap_len=15, seed=i)
+        for i in range(4)
+    ]
+    p = tmp_path / "in.txt"
+    _write_pairhmm_input(p, batches)
+    return str(p)
+
+
+def test_cli_sw_scores_and_elapsed(tmp_path, capsys, golden_dir):
+    rc = main(["sw", os.path.join(golden_dir, "sw_small.in"), "--backend", "lax"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines() if l.startswith("Score: ")]
+    want = [f"Score: {l.split()[1]}" for l in
+            open(os.path.join(golden_dir, "sw_small.golden.out"))]
+    assert lines == want
+    assert "elapsed " in out
+
+
+def test_cli_missing_file(capsys):
+    rc = main(["sw", "/definitely/not/here.in", "--backend", "lax"])
+    assert rc == 2
+    assert "no such file" in capsys.readouterr().err
+
+
+def test_cli_pairhmm_resume_matches_full(tmp_path, phmm_file):
+    full = str(tmp_path / "full.out")
+    rc = main(["pairhmm", phmm_file, full, "--backend", "lax"])
+    assert rc == 0
+
+    # resumable run from scratch
+    res = str(tmp_path / "res.out")
+    rc = main(["pairhmm", phmm_file, res, "--resume", "--backend", "lax"])
+    assert rc == 0
+    assert open(res).read() == open(full).read()
+    m = json.load(open(res + ".progress.json"))
+    assert m["completed_batches"] == 4
+
+    # simulate a crash after batch 2 (manifest says 2, file has a torn
+    # extra line): resume must truncate the tail and reproduce the rest
+    lines = open(res).readlines()
+    per_batch = len(lines) // 4
+    torn = lines[: 2 * per_batch] + ["-999.0\n"]
+    open(res, "w").writelines(torn)
+    json.dump({"input": os.path.abspath(phmm_file),
+               "completed_batches": 2, "lines": 2 * per_batch},
+              open(res + ".progress.json", "w"))
+    rc = main(["pairhmm", phmm_file, res, "--resume", "--backend", "lax"])
+    assert rc == 0
+    assert open(res).read() == open(full).read()
+
+
+def test_cli_pairhmm_resume_ignores_other_input_manifest(tmp_path, phmm_file):
+    res = str(tmp_path / "res.out")
+    open(res, "w").write("junk\n")
+    json.dump({"input": "/some/other/file", "completed_batches": 2, "lines": 1},
+              open(res + ".progress.json", "w"))
+    rc = main(["pairhmm", phmm_file, res, "--resume", "--backend", "lax"])
+    assert rc == 0
+    # manifest for a different input must be ignored: fresh full output
+    vals = np.loadtxt(res)
+    assert len(vals) == 16

@@ -1,0 +1,71 @@
+"""The actual Pallas kernel code path (ref window loads, rolls, rescale
+blocks, scalar prefetch, output tiling) run under the Pallas interpreter
+on CPU, differentially against the numpy full-matrix oracle — so kernel
+regressions are caught without TPU hardware (SURVEY.md §4 test plan)."""
+
+import numpy as np
+import pytest
+
+from genomax.config import EngineConfig
+from genomax.engine.executor import Engine
+from genomax.io.formats import SWPair
+from genomax.io.generator import generate_pairhmm_batch
+from genomax.kernels import oracle
+
+
+@pytest.fixture(scope="module")
+def eng():
+    return Engine(EngineConfig(backend="pallas"), interpret=True)
+
+
+def _random_pairs(rng, n, lo, hi, newline=True):
+    out = []
+    for _ in range(n):
+        a = rng.choice(list(b"ATGC"), size=int(rng.integers(lo, hi))).astype(np.uint8)
+        b = rng.choice(list(b"ATGC"), size=int(rng.integers(lo, hi))).astype(np.uint8)
+        a, b = a.tobytes(), b.tobytes()
+        if newline:
+            a += b"\n"
+            b += b"\n"
+        if len(a) > len(b):
+            a, b = b, a
+        out.append(SWPair(sx=a, sy=b))
+    return out
+
+
+def test_sw_kernel_interpret_vs_oracle(eng):
+    rng = np.random.default_rng(3)
+    pairs = _random_pairs(rng, 12, 2, 40)
+    got = eng.sw_scores(pairs)
+    np.testing.assert_array_equal(got, oracle.sw_scores_pairs(pairs))
+
+
+def test_sw_kernel_interpret_ragged_tiles(eng):
+    rng = np.random.default_rng(4)
+    # >128 pairs: exercises multiple grid tiles + per-tile ndiag early exit
+    pairs = _random_pairs(rng, 140, 3, 30)
+    got = eng.sw_scores(pairs)
+    np.testing.assert_array_equal(got, oracle.sw_scores_pairs(pairs))
+
+
+def test_pairhmm_kernel_interpret_vs_oracle(eng):
+    batch = generate_pairhmm_batch(3, 2, read_len=17, hap_len=25, seed=8)
+    got = eng.pairhmm([batch])
+    want = oracle.pairhmm_batch_log10(batch)
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_pairhmm_kernel_interpret_rescale():
+    # all-mismatch => decay past fp32 range; exercises the in-kernel
+    # exponent rescale block (fallback disabled to test the fp32 path)
+    eng = Engine(
+        EngineConfig(backend="pallas", phmm_fallback_threshold=None),
+        interpret=True,
+    )
+    batch = generate_pairhmm_batch(1, 1, read_len=48, hap_len=56, seed=13)
+    batch.reads[0].bases = b"A" * 48
+    batch.haplotypes[0] = b"C" * 56
+    got = eng.pairhmm([batch])
+    want = oracle.pairhmm_batch_log10(batch)
+    assert want[0] < -30
+    np.testing.assert_allclose(got, want, atol=5e-3)
