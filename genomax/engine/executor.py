@@ -39,6 +39,7 @@ class RunStats:
     exec_s: float = 0.0
     buckets: int = 0
     fallback_jobs: int = 0  # PairHMM pairs recomputed in native fp64
+    offloaded_jobs: int = 0  # oversized pairs routed to the native model
 
     @property
     def gcups(self) -> float:
@@ -58,6 +59,7 @@ class RunStats:
             "padding_efficiency": round(self.padding_efficiency, 4),
             "buckets": self.buckets,
             "fallback_jobs": self.fallback_jobs,
+            "offloaded_jobs": self.offloaded_jobs,
         }
 
 
@@ -144,11 +146,23 @@ class Engine:
             cfg=self.sw_cfg,
         )
 
+    def _sw_offload_mask(self, pairs):
+        """True = too big for the device kernel (VMEM); run natively."""
+        L, D = self.cfg.max_device_len, self.cfg.max_device_diags
+        m = np.array(
+            [len(p.sx) + 2 > L or len(p.sx) + len(p.sy) + 1 > D for p in pairs]
+        )
+        return m if m.any() else None
+
     def sw_scores(self, pairs) -> np.ndarray:
         """Scores for SWPair jobs, in input order."""
         stats = RunStats(n_jobs=len(pairs))
+        off = self._sw_offload_mask(pairs)
         t0 = time.perf_counter()
-        buckets = pack_sw_pairs(pairs, self.cfg.lane_quantum)
+        buckets = pack_sw_pairs(
+            pairs, self.cfg.lane_quantum,
+            job_mask=None if off is None else ~off,
+        )
         stats.pack_s = time.perf_counter() - t0
         stats.buckets = len(buckets)
         for b in buckets:
@@ -162,8 +176,17 @@ class Engine:
         pending = [self._sw_bucket(b) for b in buckets]
         results = [np.asarray(r) for r in pending]
         stats.exec_s = time.perf_counter() - t0
+        out = unpack_scores(buckets, results, len(pairs), np.int32)
+        if off is not None:
+            from genomax import native
+
+            idx = np.nonzero(off)[0]
+            out[idx] = native.sw_scores_native(
+                [pairs[i] for i in idx], self.sw_cfg
+            )
+            stats.offloaded_jobs = len(idx)
         self.last_stats = stats
-        return unpack_scores(buckets, results, len(pairs), np.int32)
+        return out
 
     def sw_scores_file(self, path: str) -> np.ndarray:
         from genomax.io.formats import parse_sw_file
@@ -214,11 +237,22 @@ class Engine:
         in reference output order (batches in file order, read-major
         within batch)."""
         stats = RunStats()
+        L, D = self.cfg.max_device_len // 2, self.cfg.max_device_diags // 2
+        off = []
+        for b in batches:
+            for rd in b.reads:
+                for hp in b.haplotypes:
+                    off.append(
+                        len(rd.bases) + 2 > L
+                        or len(rd.bases) + len(hp) + 1 > D
+                    )
+        off = np.array(off) if any(off) else None
         t0 = time.perf_counter()
         buckets, n = pack_pairhmm_batches(
             batches,
             self.cfg.lane_quantum,
             self.phmm_cfg.phred_offset,
+            job_mask=None if off is None else ~off,
         )
         stats.pack_s = time.perf_counter() - t0
         stats.n_jobs = n
@@ -233,11 +267,34 @@ class Engine:
         results = [np.asarray(r) for r in pending]
         stats.exec_s = time.perf_counter() - t0
         out = unpack_scores(buckets, results, n, np.float32)
-        out = self._phmm_fallback(batches, out, stats)
+        if off is not None:
+            out = self._phmm_native_subset(batches, out, np.nonzero(off)[0])
+            stats.offloaded_jobs = int(off.sum())
+        out = self._phmm_fallback(batches, out, stats, skip=off)
         self.last_stats = stats
         return out
 
-    def _phmm_fallback(self, batches, out, stats):
+    def _phmm_native_subset(self, batches, out, idx):
+        """Recompute the given flat job indices through the native fp64
+        model and scatter into out (promoting to f64)."""
+        from genomax import native
+        from genomax.io.formats import PairHMMBatch
+
+        want = set(int(i) for i in idx)
+        jobs = []
+        j = 0
+        for b in batches:
+            for rd in b.reads:
+                for hp in b.haplotypes:
+                    if j in want:
+                        jobs.append(PairHMMBatch(reads=[rd], haplotypes=[hp]))
+                    j += 1
+        exact = native.pairhmm_native(jobs, self.phmm_cfg.phred_offset)
+        out = out.astype(np.float64)
+        out[np.asarray(sorted(want), dtype=np.int64)] = exact
+        return out
+
+    def _phmm_fallback(self, batches, out, stats, skip=None):
         """Recompute deep-negative / non-finite results in native fp64
         (the fp32 fast path's design range is bounded by the per-diagonal
         dynamic span; see kernels/wavefront.py). Mirrors GATK/GKL's
@@ -246,26 +303,16 @@ class Engine:
         if thr is None:
             return out
         mask = ~np.isfinite(out) | (out < thr)
+        if skip is not None:
+            mask &= ~skip  # offloaded jobs are already exact fp64
         if not mask.any():
             return out
         from genomax import native
-        from genomax.io.formats import PairHMMBatch
 
         if not native.available():
             return out
-        jobs = []
-        idx = 0
-        for b in batches:
-            for rd in b.reads:
-                for hp in b.haplotypes:
-                    if mask[idx]:
-                        jobs.append(PairHMMBatch(reads=[rd], haplotypes=[hp]))
-                    idx += 1
-        exact = native.pairhmm_native(jobs, self.phmm_cfg.phred_offset)
-        out = out.astype(np.float64)
-        out[mask] = exact
         stats.fallback_jobs = int(mask.sum())
-        return out
+        return self._phmm_native_subset(batches, out, np.nonzero(mask)[0])
 
     def pairhmm_file(self, path: str) -> np.ndarray:
         from genomax.io.formats import parse_pairhmm_file

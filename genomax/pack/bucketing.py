@@ -189,18 +189,26 @@ def _to_tiles(flat: np.ndarray) -> np.ndarray:
     )
 
 
-def pack_sw_pairs(pairs, lane_quantum: int = SUB_Q) -> list[SWPacked]:
+def pack_sw_pairs(pairs, lane_quantum: int = SUB_Q, job_mask=None) -> list[SWPacked]:
     """Bucket and pack SWPair jobs. Sequences are raw bytes (the '\\n'
     quirk is preserved upstream by the parser: a trailing newline byte is
-    part of the sequence)."""
+    part of the sequence). ``job_mask`` (bool, len(pairs)): pack only the
+    True jobs — perm still indexes the ORIGINAL pair list, so results
+    scatter back alongside jobs computed elsewhere (e.g. the native
+    oversized-pair offload)."""
     n = len(pairs)
     sx_len = np.array([len(p.sx) for p in pairs], dtype=np.int64)
     sy_len = np.array([len(p.sy) for p in pairs], dtype=np.int64)
     # Bucket by the x (sublane) level only — see pack_pairhmm_batches.
     nxq = np.array([_level(int(l) + 2, lane_quantum) for l in sx_len])
+    if job_mask is not None:
+        nxq = np.where(np.asarray(job_mask), nxq, -1)
+        n = int(np.asarray(job_mask).sum())
 
     out = []
     for lvl in sorted(set(nxq.tolist())):
+        if lvl < 0:
+            continue
         idx = np.nonzero(nxq == lvl)[0]
         # The ladder only GROUPS; pad to the bucket's actual max (8-quantum)
         # — e.g. the 512bp+newline case packs at 520 rows, not 544.
@@ -260,6 +268,7 @@ def pack_pairhmm_batches(
     batches,
     lane_quantum: int = SUB_Q,
     phred_offset: float = 33.0,
+    job_mask=None,
 ) -> tuple[list[PairHMMPacked], int]:
     """Flatten batches into the global read-major pair list (the reference
     output order, pairHMMmatrix.c:207-258), decode phred once per read,
@@ -299,9 +308,13 @@ def pack_pairhmm_batches(
     # (tiles are sorted by diagonal count), so splitting on it would just
     # multiply kernel launches (~10ms fixed cost each).
     nxq = np.array([_level(int(l) + 2, lane_quantum) for l in rlen])
+    if job_mask is not None:
+        nxq = np.where(np.asarray(job_mask), nxq, -1)
 
     out = []
     for lvl in sorted(set(nxq.tolist())):
+        if lvl < 0:
+            continue
         idx = np.nonzero(nxq == lvl)[0]
         nxs = _round_up(int(rlen[idx].max()) + 2, SUB_Q)  # see pack_sw_pairs
         order = np.argsort(rlen[idx] + hlen[idx], kind="stable")
@@ -361,5 +374,6 @@ def pack_pairhmm_batches(
                 n_valid=len(idx),
             )
         )
-    assert sum(b.n_valid for b in out) == n
+    packed = sum(b.n_valid for b in out)
+    assert packed == (n if job_mask is None else int(np.asarray(job_mask).sum()))
     return out, n

@@ -56,3 +56,44 @@ def test_fallback_exact_for_out_of_range_pairs():
     assert want[0] < -100
     assert eng.last_stats.fallback_jobs == 1
     np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+def test_oversized_pairs_offload_to_native():
+    """Pairs too big for VMEM run through the native exact model — the
+    reference supports up to MAX_LINE_LENGTH 10000 sequences; so do we."""
+    from genomax import native
+    from genomax.io.formats import SWPair
+
+    if not native.available():
+        pytest.skip("native golden unavailable")
+    rng = np.random.default_rng(5)
+    long_a = rng.choice(list(b"ATGC"), size=3000).astype(np.uint8).tobytes()
+    long_b = rng.choice(list(b"ATGC"), size=3100).astype(np.uint8).tobytes()
+    short = [
+        SWPair(sx=bytes(rng.choice(list(b"ATGC"), 20)), sy=bytes(rng.choice(list(b"ATGC"), 25)))
+        for _ in range(3)
+    ]
+    pairs = [short[0], SWPair(sx=long_a, sy=long_b), short[1], short[2]]
+    eng = Engine(EngineConfig(backend="lax"))
+    got = eng.sw_scores(pairs)
+    assert eng.last_stats.offloaded_jobs == 1
+    want = native.sw_scores_native(pairs)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_oversized_pairhmm_offload():
+    from genomax import native
+    from genomax.io.generator import generate_pairhmm_batch
+    from genomax.kernels import oracle
+
+    if not native.available():
+        pytest.skip("native golden unavailable")
+    big = generate_pairhmm_batch(1, 1, read_len=1200, hap_len=1300, seed=6)
+    small = generate_pairhmm_batch(2, 1, read_len=12, hap_len=15, seed=7)
+    eng = Engine(EngineConfig(backend="lax"))
+    got = eng.pairhmm([small, big])
+    assert eng.last_stats.offloaded_jobs == 1
+    want_small = oracle.pairhmm_batch_log10(small)
+    np.testing.assert_allclose(got[:2], want_small, atol=2e-4)
+    want_big = native.pairhmm_native([big])
+    np.testing.assert_allclose(got[2], want_big[0], atol=1e-9)
