@@ -45,6 +45,14 @@ def setup_compilation_cache(path: str | None = None) -> None:
     _CACHE_SET_UP = True
     import jax
 
+    # TPU executables only: under the remote-compile tunnel, XLA:CPU
+    # results can be built with host-feature sets that differ from this
+    # machine (loading those risks SIGILL), and CPU compiles are cheap.
+    try:
+        if jax.default_backend() != "tpu":
+            return
+    except Exception:
+        return
     path = path or os.environ.get(
         "GENOMAX_CACHE_DIR",
         os.path.join(os.path.expanduser("~"), ".cache", "genomax-jax"),

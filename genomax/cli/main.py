@@ -160,6 +160,29 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_bench_dist(args) -> int:
+    import os
+
+    counts = [int(x) for x in args.devices.split(",")]
+    # Provision enough virtual CPU devices BEFORE jax initializes, so the
+    # sweep runs anywhere (one real chip, or no TPU at all).
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={max(counts)}"
+        ).strip()
+    from genomax.bench.scaling import run_scaling
+
+    run_scaling(
+        device_counts=counts,
+        num_alignments=args.num,
+        length=args.length,
+        backend=args.backend,
+        json_out=args.json,
+    )
+    return 0
+
+
 def cmd_parity(args) -> int:
     from genomax.testing.parity import run_parity
 
@@ -205,6 +228,16 @@ def main(argv=None) -> int:
     p.add_argument("--backend", default="auto")
     p.add_argument("--json", help="write results as JSON to this path")
     p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("bench-dist", help="pairs/s scaling over a device mesh")
+    p.add_argument("--devices", default="1,2,4,8",
+                   help="device counts to sweep (virtual CPU mesh if the "
+                        "platform has fewer devices)")
+    p.add_argument("--num", type=int, default=2048, help="alignments")
+    p.add_argument("--length", type=int, default=256)
+    p.add_argument("--backend", default="auto")
+    p.add_argument("--json", help="write results as JSON to this path")
+    p.set_defaults(fn=cmd_bench_dist)
 
     p = sub.add_parser("parity", help="diff against the reference C binaries")
     p.add_argument("--reference-dir", default="/root/reference")

@@ -1,0 +1,132 @@
+"""Multi-chip streaming dispatcher: the Engine's pack→dispatch→unpack
+pipeline promoted to a device mesh (the multi-host streaming dispatcher
+of BASELINE.json: read batches data-parallel over chips, haplotype data
+replicated per pair slot by construction, scores all-gathered over ICI).
+
+The reference is strictly single-GPU (SURVEY.md §2.3-2.4); this is the
+distribution layer it never had. Per-host usage (multi-host pods):
+call ``genomax.dist.mesh.initialize_distributed`` first, build the mesh
+over ``jax.devices()``, and feed each process the full job list —
+shard_map splits the tile batch by mesh position, so every host packs
+identically and reads only its shard's tiles from the packed arrays
+(numpy packing is cheap relative to scoring; a per-host sharded parser
+can be layered on once inputs exceed host RAM).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from genomax.config import EngineConfig, PairHMMConfig, SWConfig
+from genomax.engine.executor import RunStats
+from genomax.pack.bucketing import (
+    pack_pairhmm_batches,
+    pack_sw_pairs,
+    pad_tiles_to,
+    unpack_scores,
+)
+
+
+class ShardedEngine:
+    """Engine twin that runs every bucket through the sharded
+    (shard_map + all_gather) path on a device mesh."""
+
+    def __init__(
+        self,
+        mesh,
+        cfg: EngineConfig = EngineConfig(),
+        sw_cfg: SWConfig = SWConfig(),
+        phmm_cfg: PairHMMConfig = PairHMMConfig(),
+        interpret: bool = False,
+    ):
+        import genomax
+
+        genomax.setup_compilation_cache()
+        self.mesh = mesh
+        self.n_devices = mesh.devices.size
+        self.cfg = cfg
+        self.sw_cfg = sw_cfg
+        self.phmm_cfg = phmm_cfg
+        self.interpret = interpret
+        self.backend = cfg.resolve_backend()
+        self.last_stats: RunStats | None = None
+
+    def sw_scores(self, pairs) -> np.ndarray:
+        import jax.numpy as jnp
+
+        from genomax.dist.sharded import sw_forward_sharded
+
+        stats = RunStats(n_jobs=len(pairs))
+        t0 = time.perf_counter()
+        buckets = [
+            pad_tiles_to(b, self.n_devices)
+            for b in pack_sw_pairs(pairs, self.cfg.lane_quantum)
+        ]
+        stats.pack_s = time.perf_counter() - t0
+        stats.buckets = len(buckets)
+        t0 = time.perf_counter()
+        pending = [
+            sw_forward_sharded(
+                jnp.asarray(b.sx),
+                jnp.asarray(b.sy),
+                jnp.asarray(b.nx),
+                jnp.asarray(b.ny),
+                jnp.asarray(b.ndiag_tile),
+                mesh=self.mesh,
+                n_diags=-(-b.max_diags // 32) * 32,
+                cfg=self.sw_cfg,
+                unroll=self.cfg.unroll,
+                backend=self.backend,
+                interpret=self.interpret,
+            )
+            for b in buckets
+        ]
+        results = [np.asarray(r) for r in pending]
+        stats.exec_s = time.perf_counter() - t0
+        self.last_stats = stats
+        return unpack_scores(buckets, results, len(pairs), np.int32)
+
+    def pairhmm(self, batches) -> np.ndarray:
+        import jax.numpy as jnp
+
+        from genomax.dist.sharded import pairhmm_forward_sharded
+
+        stats = RunStats()
+        t0 = time.perf_counter()
+        buckets, n = pack_pairhmm_batches(
+            batches, self.cfg.lane_quantum, self.phmm_cfg.phred_offset
+        )
+        buckets = [pad_tiles_to(b, self.n_devices) for b in buckets]
+        stats.pack_s = time.perf_counter() - t0
+        stats.n_jobs = n
+        stats.buckets = len(buckets)
+        t0 = time.perf_counter()
+        pending = [
+            pairhmm_forward_sharded(
+                jnp.asarray(b.rchar),
+                jnp.asarray(b.qr),
+                jnp.asarray(b.mmv),
+                jnp.asarray(b.gapm),
+                jnp.asarray(b.qi),
+                jnp.asarray(b.qd),
+                jnp.asarray(b.qg),
+                jnp.asarray(b.hap),
+                jnp.asarray(b.meta),
+                jnp.asarray(b.rl),
+                jnp.asarray(b.hl),
+                jnp.asarray(b.ndiag_tile),
+                mesh=self.mesh,
+                n_diags=-(-b.max_diags // self.cfg.rescale_period)
+                * self.cfg.rescale_period,
+                rescale_period=self.cfg.rescale_period,
+                backend=self.backend,
+                interpret=self.interpret,
+            )
+            for b in buckets
+        ]
+        results = [np.asarray(r) for r in pending]
+        stats.exec_s = time.perf_counter() - t0
+        self.last_stats = stats
+        return unpack_scores(buckets, results, n, np.float32)

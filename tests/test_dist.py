@@ -80,3 +80,27 @@ def test_pairhmm_sharded_matches_oracle(mesh):
     got[bk.perm] = np.asarray(got_packed).reshape(-1)[: bk.n_valid]
     want = oracle.pairhmm_batch_log10(batch)
     np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_sharded_engine_matches_local(mesh):
+    from genomax.config import EngineConfig
+    from genomax.dist.engine import ShardedEngine
+    from genomax.engine.executor import Engine
+    from genomax.io.generator import generate_pairhmm_batch
+
+    rng = np.random.default_rng(17)
+    pairs = []
+    for _ in range(40):
+        a = bytes(rng.choice(list(b"ATGC"), int(rng.integers(5, 30))))
+        b = bytes(rng.choice(list(b"ATGC"), int(rng.integers(5, 30))))
+        if len(a) > len(b):
+            a, b = b, a
+        pairs.append(SWPair(sx=a, sy=b))
+    local = Engine(EngineConfig(backend="lax"))
+    dist = ShardedEngine(mesh, EngineConfig(backend="lax"))
+    np.testing.assert_array_equal(dist.sw_scores(pairs), local.sw_scores(pairs))
+
+    batch = generate_pairhmm_batch(3, 3, read_len=13, hap_len=17, seed=2)
+    np.testing.assert_allclose(
+        dist.pairhmm([batch]), local.pairhmm([batch]), atol=1e-4
+    )
