@@ -26,6 +26,18 @@ import time
 import numpy as np
 
 
+def _maybe_profile(args):
+    """jax.profiler trace context for --profile DIR (SURVEY.md §5: the
+    reference's only tracing is a gettimeofday elapsed print)."""
+    import contextlib
+
+    if not getattr(args, "profile", None):
+        return contextlib.nullcontext()
+    import jax
+
+    return jax.profiler.trace(args.profile)
+
+
 def _build_engine(args):
     from genomax.config import EngineConfig, SWConfig
     from genomax.engine.executor import Engine
@@ -53,6 +65,9 @@ def _add_engine_args(p):
     p.add_argument("--gap-open", type=int, default=-3)
     p.add_argument("--gap-extend", type=int, default=-1)
     p.add_argument("--stats", action="store_true", help="print JSON run stats to stderr")
+    p.add_argument("--profile", metavar="DIR",
+                   help="capture a jax.profiler trace of the run into DIR "
+                        "(view with tensorboard/xprof)")
 
 
 def cmd_sw(args) -> int:
@@ -61,7 +76,8 @@ def cmd_sw(args) -> int:
     eng = _build_engine(args)
     pairs = parse_sw_file(args.input)
     t0 = time.time()
-    scores = eng.sw_scores(pairs)
+    with _maybe_profile(args):
+        scores = eng.sw_scores(pairs)
     elapsed = time.time() - t0
     lines = "".join("Score: %d\n" % s for s in scores)
     if args.output:
@@ -83,7 +99,8 @@ def cmd_pairhmm(args) -> int:
     if args.resume:
         return _pairhmm_resumable(args, eng, batches)
     t0 = time.time()
-    values = eng.pairhmm(batches)
+    with _maybe_profile(args):
+        values = eng.pairhmm(batches)
     elapsed = time.time() - t0
     write_pairhmm_output(args.output, values)
     print("elapsed %f" % elapsed)

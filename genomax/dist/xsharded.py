@@ -1,0 +1,181 @@
+"""Cross-chip wavefront: ONE DP matrix partitioned across the device
+mesh — the long-sequence path where even a single pair's state exceeds
+one chip (SURVEY.md §7 step 7; the DP analog of context parallelism /
+ring attention).
+
+Layout: the x axis (sublanes) is split into K strips of W rows, strip k
+on device k; up to 128 such huge pairs ride the lane axis. Execution is
+**skewed**: device k runs ``unroll`` diagonals behind device k-1, so the
+only communication is a per-block halo — the last-sublane rows of D and
+Q for each of the block's diagonals — sent to the right neighbor with
+``jax.lax.ppermute`` (ICI on a real slice). Inside a block every device
+steps autonomously; halo row t replaces the sublane-0 wrap value of the
+roll performed after diagonal start+t. Device 0 receives constant
+zeros, which are provably equivalent to the single-chip pad-wrap
+boundary (the D_wrap = 0 term dominates ``max(D_in, Q_in + gap_extend)``
+for any Q_in <= 0).
+
+The skew means block b on device k covers diagonals
+[(b-k)*U, (b-k+1)*U); blocks before a strip's fill (d < 0) and after its
+drain sweep pad stream windows (the packing reserves pad rows on both
+sides of the codes), which the pad-code decay makes inert — the same
+invariant the single-chip kernel relies on. Total blocks =
+ceil(n_diags/U) + K - 1 (the classic pipeline fill/drain bubble; it
+amortizes away when n_diags >> K*U, i.e. exactly the huge-pair regime
+this path exists for).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import numpy as np
+
+from genomax.config import SWConfig
+from genomax.dist.mesh import DATA_AXIS
+from genomax.pack.bucketing import (
+    LANES,
+    PAD_STREAM,
+    PAD_X,
+    SUB_Q,
+    _round_up,
+)
+
+
+@dataclasses.dataclass
+class SWXPacked:
+    """One tile of up to 128 huge pairs, x axis split into K strips.
+
+    sx : (K*W, 128) int8 sublane-fixed codes (global sublane order)
+    sy : (NDt, 128) int8 reversed stream; device k's window for diagonal
+         d is rows [A + k*W - d, ... + W), A = NDt - (K-1)*(W+U) - W.
+         A is sized past the full skewed sweep so every window load is
+         in bounds and pre-fill/post-drain windows read only pad rows.
+    """
+
+    sx: np.ndarray
+    sy: np.ndarray
+    n_devices: int
+    strip_w: int
+    n_diags: int
+    unroll: int
+    nx: np.ndarray
+    ny: np.ndarray
+    n_valid: int
+
+
+def pack_sw_xsharded(pairs, n_devices: int, unroll: int = 16) -> SWXPacked:
+    """Pack up to 128 pairs for the cross-chip wavefront."""
+    assert len(pairs) <= LANES
+    nxs = _round_up(max(len(p.sx) for p in pairs) + 2, SUB_Q)
+    w = _round_up(-(-nxs // n_devices), SUB_Q)
+    nd = max(len(p.sx) + len(p.sy) + 1 for p in pairs)
+    # Anchor covers every diagonal any device visits, including the
+    # K-1 drain blocks past ceil(nd/U)*U.
+    anchor = _round_up(nd + (n_devices + 2) * unroll, SUB_Q)
+    ndt = _round_up(anchor + (n_devices - 1) * (w + unroll) + w, SUB_Q)
+
+    sx = np.full((n_devices * w, LANES), PAD_X, np.int8)
+    sy = np.full((ndt, LANES), PAD_STREAM, np.int8)
+    nx = np.ones(LANES, np.int32)
+    ny = np.ones(LANES, np.int32)
+    for l, p in enumerate(pairs):
+        sx[1 : len(p.sx) + 1, l] = np.frombuffer(p.sx, np.uint8)
+        sy[anchor - len(p.sy) : anchor, l] = np.frombuffer(p.sy, np.uint8)[::-1]
+        nx[l] = len(p.sx) + 1
+        ny[l] = len(p.sy) + 1
+    return SWXPacked(
+        sx=sx, sy=sy, n_devices=n_devices, strip_w=w, n_diags=nd,
+        unroll=unroll, nx=nx, ny=ny, n_valid=len(pairs),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "strip_w", "n_diags", "unroll", "cfg")
+)
+def sw_forward_xsharded(
+    sx,  # (K*W, 128) int8/int32, sharded along sublanes
+    sy,  # (NDt, 128) int8/int32, replicated
+    *,
+    mesh,
+    strip_w: int,
+    n_diags: int,
+    unroll: int = 16,
+    cfg: SWConfig = SWConfig(),
+):
+    """Returns (128,) int32 scores for one tile of huge pairs."""
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    k_devices = mesh.devices.size
+    w, U = strip_w, unroll
+    og_e = cfg.gap_open + cfg.gap_extend
+    ge = cfg.gap_extend
+    n_blocks = -(-n_diags // U) + k_devices - 1
+
+    def shard_fn(sx_s, sy_s):
+        k = jax.lax.axis_index(DATA_AXIS)
+        sxb = sx_s.astype(jnp.int32)
+        syb = sy_s.astype(jnp.int32)
+        nds = syb.shape[0]
+        a_base = nds - (k_devices - 1) * (w + U) - w  # >= the pack anchor
+        subm = (sxb - sxb) + cfg.match
+        subx = (sxb - sxb) + cfg.mismatch
+        row0 = jax.lax.broadcasted_iota(jnp.int32, (w, LANES), 0) == 0
+        roll1 = functools.partial(jnp.roll, shift=1, axis=0)
+        is0 = k == 0
+        perm = [(i, i + 1) for i in range(k_devices - 1)]
+
+        z = jnp.zeros((w, LANES), jnp.int32)
+        zh = jnp.zeros((U, LANES), jnp.int32)
+
+        def outer(b, st):
+            P1, D1, D1s, Q1s, D2s, mx, haloD, haloQ = st
+            # Boundary rows for this block's diagonal range, produced by
+            # the left neighbor one outer iteration ago (device 0 gets
+            # the pad-equivalent zeros).
+            hD = jnp.where(is0, 0, jax.lax.ppermute(haloD, DATA_AXIS, perm))
+            hQ = jnp.where(is0, 0, jax.lax.ppermute(haloQ, DATA_AXIS, perm))
+
+            start = (b - k) * U  # this block's first diagonal
+            bD, bQ = [], []
+            for t in range(U):
+                d = start + t
+                # stream window rows [a_base + k*w - d, ... + w)
+                syw = jax.lax.dynamic_slice_in_dim(
+                    syb, a_base + k * w - d, w, axis=0
+                )
+                Pn = jnp.maximum(D1, P1 + ge)
+                Qn = jnp.maximum(D1s, Q1s + ge)
+                sub = jnp.where(syw == sxb, subm, subx)
+                Dn = jnp.maximum(
+                    jnp.maximum(Pn, Qn) + og_e, jnp.maximum(D2s + sub, 0)
+                )
+                mx = jnp.maximum(mx, Dn)
+                bD.append(Dn[-1:])
+                bQ.append(Qn[-1:])
+                # Roll forward; the halo row for diagonal d replaces the
+                # wrap value at sublane 0 (it feeds diagonal d+1).
+                D1sn = jnp.where(row0, hD[t : t + 1], roll1(Dn))
+                Q1sn = jnp.where(row0, hQ[t : t + 1], roll1(Qn))
+                P1, D1, D1s, Q1s, D2s = Pn, Dn, D1sn, Q1sn, D1s
+            return (
+                P1, D1, D1s, Q1s, D2s, mx,
+                jnp.concatenate(bD, axis=0), jnp.concatenate(bQ, axis=0),
+            )
+
+        st = (z, z, z, z, z, z, zh, zh)
+        st = jax.lax.fori_loop(0, n_blocks, outer, st)
+        local = jnp.max(st[5], axis=0)
+        return jax.lax.pmax(local, DATA_AXIS)
+
+    return shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS), P()),
+        out_specs=P(),
+        check_rep=False,
+    )(sx, sy)

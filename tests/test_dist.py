@@ -91,8 +91,8 @@ def test_sharded_engine_matches_local(mesh):
     rng = np.random.default_rng(17)
     pairs = []
     for _ in range(40):
-        a = bytes(rng.choice(list(b"ATGC"), int(rng.integers(5, 30))))
-        b = bytes(rng.choice(list(b"ATGC"), int(rng.integers(5, 30))))
+        a = rng.choice(list(b"ATGC"), int(rng.integers(5, 30))).astype(np.uint8).tobytes()
+        b = rng.choice(list(b"ATGC"), int(rng.integers(5, 30))).astype(np.uint8).tobytes()
         if len(a) > len(b):
             a, b = b, a
         pairs.append(SWPair(sx=a, sy=b))
