@@ -19,6 +19,42 @@ import time
 import numpy as np
 
 from genomax.config import EngineConfig, PairHMMConfig, SWConfig
+
+
+class EngineError(RuntimeError):
+    """Structured engine failure: which stage and bucket failed.
+
+    The reference reads back a per-kernel error flag and never checks it
+    (smithWaterman.cu:474) and aborts the process on API errors (CHECK
+    macro, :19-29); here failures carry context and transient device
+    errors get one retry per bucket before surfacing (SURVEY.md §5)."""
+
+    def __init__(self, stage: str, bucket: int, shape, cause: Exception):
+        super().__init__(
+            f"{stage} failed on bucket {bucket} (shape {shape}): {cause!r}"
+        )
+        self.stage = stage
+        self.bucket = bucket
+        self.cause = cause
+
+
+def _run_buckets(stage, buckets, dispatch):
+    """Dispatch all buckets async, fence each; one retry per bucket on
+    transient device errors, then a structured EngineError."""
+    pending = [(i, b, dispatch(b)) for i, b in enumerate(buckets)]
+    results = []
+    for i, b, r in pending:
+        try:
+            results.append(np.asarray(r))
+        except Exception:
+            try:
+                results.append(np.asarray(dispatch(b)))  # one retry
+            except Exception as e:
+                shape = getattr(b, "sx", getattr(b, "rchar", None))
+                raise EngineError(
+                    stage, i, None if shape is None else shape.shape, e
+                ) from e
+    return results
 from genomax.pack.bucketing import (
     pack_pairhmm_batches,
     pack_sw_pairs,
@@ -171,10 +207,9 @@ class Engine:
                 b.ndiag_tile.astype(np.int64).sum()
             )
         t0 = time.perf_counter()
-        # Dispatch all buckets asynchronously, then block once: per-call
-        # host/launch latency overlaps device execution.
-        pending = [self._sw_bucket(b) for b in buckets]
-        results = [np.asarray(r) for r in pending]
+        # Dispatch all buckets asynchronously, fence once (latency
+        # overlaps device execution); retry/diagnostics in _run_buckets.
+        results = _run_buckets("sw", buckets, self._sw_bucket)
         stats.exec_s = time.perf_counter() - t0
         out = unpack_scores(buckets, results, len(pairs), np.int32)
         if off is not None:
@@ -263,8 +298,7 @@ class Engine:
                 b.ndiag_tile.astype(np.int64).sum()
             )
         t0 = time.perf_counter()
-        pending = [self._phmm_bucket(b) for b in buckets]
-        results = [np.asarray(r) for r in pending]
+        results = _run_buckets("pairhmm", buckets, self._phmm_bucket)
         stats.exec_s = time.perf_counter() - t0
         out = unpack_scores(buckets, results, n, np.float32)
         if off is not None:
