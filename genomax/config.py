@@ -70,13 +70,19 @@ class EngineConfig:
     # path covers the overwhelmingly common case, exactly like GATK/GKL's
     # fp32 AVX path with fp64 fallback. None disables the fallback.
     phmm_fallback_threshold: float | None = -45.0
-    # Oversized-job offload: pairs whose padded sublane extent or diagonal
-    # count would overflow VMEM (~16 MB/core) run through the native C++
-    # exact model instead (the reference handles up to MAX_LINE_LENGTH
-    # 10000 on the CPU; so do we). PairHMM applies half these bounds (it
-    # carries ~2x the per-position state).
+    # Oversized-job offload: pairs whose padded sublane extent would
+    # overflow VMEM (~16 MB/core) run through the native C++ exact model
+    # instead (the reference handles up to MAX_LINE_LENGTH 10000 on the
+    # CPU; so do we). PairHMM applies half these bounds (it carries ~2x
+    # the per-position state). The diagonal count is effectively
+    # unbounded: buckets whose stream buffer exceeds stream_vmem_rows
+    # route to the HBM-streamed kernels (slab-DMA double buffering), so
+    # max_device_diags only caps pathological memory use.
     max_device_len: int = 2048
-    max_device_diags: int = 16384
+    max_device_diags: int = 1 << 20
+    # Stream buffers larger than this many rows use the HBM-streamed
+    # kernel variant instead of a VMEM-resident stream.
+    stream_vmem_rows: int = 6144
 
     def resolve_backend(self) -> str:
         if self.backend != "auto":

@@ -162,9 +162,19 @@ class Engine:
         import jax.numpy as jnp
 
         if self.backend == "pallas":
-            from genomax.kernels.sw_pallas import sw_forward_pallas
+            from genomax.kernels.sw_pallas import (
+                sw_forward_pallas,
+                sw_forward_pallas_streamed,
+            )
 
-            return sw_forward_pallas(
+            # Big stream buffers (long y sequences) stay in HBM and are
+            # slab-DMA'd; everything else rides the VMEM-resident path.
+            fn = (
+                sw_forward_pallas_streamed
+                if b.sy.shape[1] > self.cfg.stream_vmem_rows
+                else sw_forward_pallas
+            )
+            return fn(
                 jnp.asarray(b.sx),
                 jnp.asarray(b.sy),
                 jnp.asarray(b.ndiag_tile),
@@ -234,9 +244,17 @@ class Engine:
         import jax.numpy as jnp
 
         if self.backend == "pallas":
-            from genomax.kernels.pairhmm_pallas import pairhmm_forward_pallas
+            from genomax.kernels.pairhmm_pallas import (
+                pairhmm_forward_pallas,
+                pairhmm_forward_pallas_streamed,
+            )
 
-            return pairhmm_forward_pallas(
+            fn = (
+                pairhmm_forward_pallas_streamed
+                if b.hap.shape[1] > self.cfg.stream_vmem_rows
+                else pairhmm_forward_pallas
+            )
+            return fn(
                 jnp.asarray(b.rchar),
                 jnp.asarray(b.qr),
                 jnp.asarray(b.mmv),

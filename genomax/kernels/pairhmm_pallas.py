@@ -153,3 +153,142 @@ def pairhmm_forward_pallas(
         interpret=interpret,
     )(ndiag_tile, rchar, qr, mmv, gapm, qi, qd, qg, hap, meta)
     return out[::8]
+
+
+STREAM_CHUNK = 256  # diagonals per HBM->VMEM slab DMA (streamed variant)
+
+
+def _kernel_streamed(
+    nd_ref, rchar_ref, qr_ref, mmv_ref, gapm_ref, qi_ref, qd_ref, qg_ref,
+    hap_hbm, meta_ref, out_ref, zscr, slab, sem, *, unroll: int,
+):
+    """Streamed variant: the haplotype stream stays in HBM, slab-DMA'd
+    per STREAM_CHUNK diagonals with double buffering — haplotype length
+    bounded by HBM, not VMEM (see sw_pallas._kernel_streamed)."""
+    import dataclasses
+
+    t = pl.program_id(0)
+    nd = nd_ref[t]
+    nxs = rchar_ref.shape[1]
+    nds = hap_hbm.shape[1]
+    chunk = STREAM_CHUNK
+    n_sub = chunk // unroll
+    span = nxs + chunk
+    roll1 = lambda x: pltpu.roll(x, 1, axis=0)  # noqa: E731
+    a = nds - nxs
+
+    meta = meta_ref[0]
+    c = phmm_make_consts(
+        rchar_ref[0], qr_ref[0], mmv_ref[0], gapm_ref[0], qi_ref[0],
+        qd_ref[0], qg_ref[0], meta[0:1], meta[1:2], None, roll1,
+    )
+
+    def dma(slot, ci):
+        return pltpu.make_async_copy(
+            hap_hbm.at[t, pl.ds(a - (ci + 1) * chunk, span), :],
+            slab.at[pl.ds(slot * span, span), :],
+            sem.at[slot],
+        )
+
+    dma(0, 0).start()
+    n_chunks = (nd + chunk - 1) // chunk
+
+    zscr[:] = jnp.zeros((nxs, LANES), jnp.float32)
+
+    def process(ci, slot, st):
+        def block(sb, st):
+            d0 = ci * chunk + sb * unroll
+            for tt in range(unroll):
+                off = chunk - sb * unroll - tt
+                cw = dataclasses.replace(
+                    c, window=lambda d, o=off: slab[
+                        pl.ds(slot * span + o, nxs), :]
+                )
+                st = phmm_step(d0 + tt, st, cw)
+            return phmm_rescale(st, d0 + unroll - 1, c)
+
+        return jax.lax.fori_loop(0, n_sub, block, st)
+
+    def pair_body(i, st):
+        c0 = 2 * i
+
+        @pl.when(c0 + 1 < n_chunks)
+        def _():
+            dma(1, c0 + 1).start()
+
+        dma(0, c0).wait()
+        st = process(c0, 0, st)
+
+        @pl.when(c0 + 2 < n_chunks)
+        def _():
+            dma(0, c0 + 2).start()
+
+        @pl.when(c0 + 1 < n_chunks)
+        def _w():
+            dma(1, c0 + 1).wait()
+
+        return jax.lax.cond(
+            c0 + 1 < n_chunks, lambda s: process(c0 + 1, 1, s),
+            lambda s: s, st,
+        )
+
+    state = jax.lax.fori_loop(
+        0, (n_chunks + 1) // 2, pair_body, phmm_make_state(zscr[:])
+    )
+    res = phmm_finalize(state).reshape(1, LANES)
+    out_ref[:] = jnp.broadcast_to(res, out_ref.shape)
+
+
+@functools.partial(jax.jit, static_argnames=("rescale_period", "interpret"))
+def pairhmm_forward_pallas_streamed(
+    rchar: jax.Array,
+    qr: jax.Array,
+    mmv: jax.Array,
+    gapm: jax.Array,
+    qi: jax.Array,
+    qd: jax.Array,
+    qg: jax.Array,
+    hap: jax.Array,  # (NT, NDs, 128) — stays in HBM
+    meta: jax.Array,
+    ndiag_tile: jax.Array,
+    rescale_period: int = 16,
+    interpret: bool = False,
+) -> jax.Array:
+    """pairhmm_forward_pallas with an HBM-resident haplotype stream."""
+    assert STREAM_CHUNK % rescale_period == 0
+    rchar = rchar.astype(jnp.int32)
+    hap = hap.astype(jnp.int32)
+    nt, nxs, _ = rchar.shape
+
+    def vspec(rows):
+        return pl.BlockSpec((1, rows, LANES), lambda t, nd: (t, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nt,),
+        in_specs=[
+            vspec(nxs), vspec(nxs), vspec(nxs), vspec(nxs),
+            vspec(nxs), vspec(nxs), vspec(nxs),
+            pl.BlockSpec(memory_space=pl.ANY),  # hap stream in HBM
+            vspec(8),
+        ],
+        out_specs=pl.BlockSpec((8, LANES), lambda t, nd: (t, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((nxs, LANES), jnp.float32),
+            pltpu.VMEM((2 * (nxs + STREAM_CHUNK), LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_streamed, unroll=rescale_period),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nt * 8, LANES), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(ndiag_tile, rchar, qr, mmv, gapm, qi, qd, qg, hap, meta)
+    return out[::8]

@@ -35,8 +35,11 @@ LANES = 128
 SUB_Q = 8
 # The stream buffer is padded so that the kernels' dynamic window load
 # (rows [NDs-1-d, NDs-1-d+NXs)) stays in bounds for d up to
-# ceil(n_diags/unroll)*unroll - 1, for any unroll <= MAX_UNROLL.
+# ceil(n_diags/unroll)*unroll - 1, for any unroll <= MAX_UNROLL; the
+# anchor is additionally quantized to STREAM_CHUNK so the HBM-streamed
+# kernels' slab DMAs (chunk-granular) stay in bounds too.
 MAX_UNROLL = 32
+STREAM_CHUNK = 256
 
 PAD_X = 1
 PAD_STREAM = 2
@@ -220,8 +223,9 @@ def pack_sw_pairs(pairs, lane_quantum: int = SUB_Q, job_mask=None) -> list[SWPac
         slots = nt * LANES
         # Stream anchor A: window(d) = buf[A-d, A-d+nxs); codes at
         # [A-len, A). A >= ndiags + MAX_UNROLL keeps every sweep read
-        # (incl. unroll overshoot) in bounds.
-        anchor = _round_up(int(ndiags.max()) + MAX_UNROLL, SUB_Q)
+        # (incl. unroll overshoot) in bounds; STREAM_CHUNK quantization
+        # keeps the streamed kernels' slab DMAs in bounds.
+        anchor = _round_up(int(ndiags.max()) + MAX_UNROLL, STREAM_CHUNK)
         nds = anchor + nxs
 
         sx = np.full((slots, nxs), PAD_X, dtype=np.int8)
@@ -323,7 +327,7 @@ def pack_pairhmm_batches(
         slots = nt * LANES
         # Stream anchor: see pack_sw_pairs.
         anchor = _round_up(
-            int((rlen[idx] + hlen[idx] + 1).max()) + MAX_UNROLL, SUB_Q
+            int((rlen[idx] + hlen[idx] + 1).max()) + MAX_UNROLL, STREAM_CHUNK
         )
         nds = anchor + nxs
 

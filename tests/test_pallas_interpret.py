@@ -69,3 +69,32 @@ def test_pairhmm_kernel_interpret_rescale():
     want = oracle.pairhmm_batch_log10(batch)
     assert want[0] < -30
     np.testing.assert_allclose(got, want, atol=5e-3)
+
+
+def test_sw_streamed_kernel_interpret(eng):
+    """Long-y pairs route to the HBM-streamed slab-DMA kernel."""
+    from genomax.config import EngineConfig
+    from genomax.engine.executor import Engine as _E
+
+    e = _E(EngineConfig(backend="pallas", stream_vmem_rows=512), interpret=True)
+    rng = np.random.default_rng(6)
+    pairs = [
+        SWPair(
+            sx=rng.choice(list(b"ATGC"), 30).astype(np.uint8).tobytes(),
+            sy=rng.choice(list(b"ATGC"), int(rng.integers(600, 900))).astype(np.uint8).tobytes(),
+        )
+        for _ in range(5)
+    ]
+    got = e.sw_scores(pairs)
+    np.testing.assert_array_equal(got, oracle.sw_scores_pairs(pairs))
+
+
+def test_pairhmm_streamed_kernel_interpret():
+    from genomax.config import EngineConfig
+    from genomax.engine.executor import Engine as _E
+
+    e = _E(EngineConfig(backend="pallas", stream_vmem_rows=512), interpret=True)
+    batch = generate_pairhmm_batch(2, 2, read_len=18, hap_len=650, seed=4)
+    got = e.pairhmm([batch])
+    want = oracle.pairhmm_batch_log10(batch)
+    np.testing.assert_allclose(got, want, atol=2e-4)
