@@ -32,10 +32,9 @@ import dataclasses
 from genomax.config import SWConfig
 from genomax.kernels.wavefront import (
     LANES,
+    sw_block,
     sw_make_consts,
     sw_make_state,
-    sw_step,
-    wavefront_sweep,
 )
 
 STREAM_CHUNK = 256  # diagonals per HBM->VMEM slab DMA (streamed variant)
@@ -59,13 +58,14 @@ def _kernel(nd_ref, sx_ref, sy_ref, out_ref, zscr, *, cfg: SWConfig,
 
     c = sw_make_consts(sx_ref[0], window, roll1, cfg)
 
-    def body(d, state):
-        return sw_step(d, state, c)
+    def outer(i, st):
+        return sw_block(i * unroll, st, c, unroll)
 
     # Zero template round-tripped through VMEM scratch (layout note in
     # sw_make_state).
     zscr[:] = jnp.zeros((nxs, LANES), sx_ref.dtype)
-    state = wavefront_sweep(nd, sw_make_state(zscr[:]), body, unroll)
+    n_blocks = (nd + unroll - 1) // unroll
+    state = jax.lax.fori_loop(0, n_blocks, outer, sw_make_state(zscr[:]))
     score = jnp.max(state[5].astype(jnp.int32), axis=0, keepdims=True)
     out_ref[:] = jnp.broadcast_to(score, out_ref.shape)
 
@@ -159,16 +159,16 @@ def _kernel_streamed(nd_ref, sx_ref, sy_hbm, out_ref, zscr, slab, sem, *,
     zscr[:] = jnp.zeros((nxs, LANES), sx_ref.dtype)
 
     def process(ci, slot, st):
-        # slot is a python int -> static slab base in the hot loop
+        # slot is a python int -> static slab base in the hot loop;
+        # the window reads the slab at offset (chunk - d_within_chunk)
         def block(sb, st):
-            for tt in range(unroll):
-                off = chunk - sb * unroll - tt
-                cw = dataclasses.replace(
-                    c, window=lambda d, o=off: slab[
-                        pl.ds(slot * span + o, nxs), :]
-                )
-                st = sw_step(0, st, cw)
-            return st
+            cw = dataclasses.replace(
+                c,
+                window=lambda dd: slab[
+                    pl.ds(slot * span + chunk - sb * unroll - dd, nxs), :
+                ],
+            )
+            return sw_block(0, st, cw, unroll)
 
         return jax.lax.fori_loop(0, n_sub, block, st)
 

@@ -182,6 +182,32 @@ def sw_step(d, state, c: SWConsts):
     return (Pn, Dn, c.roll1(Dn), c.roll1(Qn), D1s, mx)
 
 
+def sw_block(base, state, c: SWConsts, unroll: int):
+    """``unroll`` python-unrolled sw_steps with the running-max update
+    folded to every other step (max is associative; one fewer op per
+    step, ~5% on v5e). Pairing stays inside the block, so any even or
+    odd unroll is handled."""
+    P1, D1, D1s, Q1s, D2s, mx = state
+    cfg = c.cfg
+    og_e = cfg.gap_open + cfg.gap_extend
+    prevD = None
+    for t in range(unroll):
+        syw = c.window(base + t)
+        Pn = jnp.maximum(D1, P1 + cfg.gap_extend)
+        Qn = jnp.maximum(D1s, Q1s + cfg.gap_extend)
+        sub = jnp.where(syw == c.sxb, c.subm, c.subx)
+        Dn = jnp.maximum(
+            jnp.maximum(Pn, Qn) + og_e, jnp.maximum(D2s + sub, 0)
+        )
+        if t % 2 == 1:
+            mx = jnp.maximum(mx, jnp.maximum(prevD, Dn))
+        elif t == unroll - 1:
+            mx = jnp.maximum(mx, Dn)
+        prevD = Dn
+        P1, D1, D1s, Q1s, D2s = Pn, Dn, c.roll1(Dn), c.roll1(Qn), D1s
+    return (P1, D1, D1s, Q1s, D2s, mx)
+
+
 def sw_forward_dense(
     sx, sy_rev, nx, ny, n_diags, cfg: SWConfig = SWConfig(), unroll: int = 8
 ):
@@ -198,11 +224,12 @@ def sw_forward_dense(
     window = functools.partial(stream_window, sy_rev, nxs=sx.shape[0])
     c = sw_make_consts(sx, window, roll1, cfg)
 
-    def body(d, state):
-        return sw_step(d, state, c)
+    def outer(i, st):
+        return sw_block(i * unroll, st, c, unroll)
 
     z = jnp.zeros(sx.shape, sx.dtype)
-    state = wavefront_sweep(n_diags, sw_make_state(z), body, unroll)
+    n_blocks = (n_diags + unroll - 1) // unroll
+    state = jax.lax.fori_loop(0, n_blocks, outer, sw_make_state(z))
     return jnp.max(state[5].astype(jnp.int32), axis=0)
 
 
