@@ -6,11 +6,12 @@ replicated per pair slot by construction, scores all-gathered over ICI).
 The reference is strictly single-GPU (SURVEY.md §2.3-2.4); this is the
 distribution layer it never had. Per-host usage (multi-host pods):
 call ``genomax.dist.mesh.initialize_distributed`` first, build the mesh
-over ``jax.devices()``, and feed each process the full job list —
-shard_map splits the tile batch by mesh position, so every host packs
-identically and reads only its shard's tiles from the packed arrays
-(numpy packing is cheap relative to scoring; a per-host sharded parser
-can be layered on once inputs exceed host RAM).
+over ``jax.devices()``, and feed each process the full job list — every
+host packs identically (numpy packing is cheap relative to scoring) and
+``_put`` materializes only this process's addressable tile shards on
+device (``jax.make_array_from_callback``), so the device feed is
+host-sharded even though parsing is replicated; output order stays the
+deterministic global packing order.
 """
 
 from __future__ import annotations
@@ -20,6 +21,7 @@ import time
 import numpy as np
 
 from genomax.config import EngineConfig, PairHMMConfig, SWConfig
+from genomax.dist.mesh import DATA_AXIS
 from genomax.engine.executor import RunStats
 from genomax.pack.bucketing import (
     pack_pairhmm_batches,
@@ -53,9 +55,23 @@ class ShardedEngine:
         self.backend = cfg.resolve_backend()
         self.last_stats: RunStats | None = None
 
-    def sw_scores(self, pairs) -> np.ndarray:
+    def _put(self, arr):
+        """Device placement: single-process -> plain transfer; multi-host
+        -> global array assembled from this process's addressable shards
+        only (tile dim sharded along the data axis)."""
+        import jax
         import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
+        if jax.process_count() == 1:
+            return jnp.asarray(arr)
+        spec = P(DATA_AXIS, *([None] * (arr.ndim - 1)))
+        sharding = NamedSharding(self.mesh, spec)
+        return jax.make_array_from_callback(
+            arr.shape, sharding, lambda idx: arr[idx]
+        )
+
+    def sw_scores(self, pairs) -> np.ndarray:
         from genomax.dist.sharded import sw_forward_sharded
 
         stats = RunStats(n_jobs=len(pairs))
@@ -69,11 +85,11 @@ class ShardedEngine:
         t0 = time.perf_counter()
         pending = [
             sw_forward_sharded(
-                jnp.asarray(b.sx),
-                jnp.asarray(b.sy),
-                jnp.asarray(b.nx),
-                jnp.asarray(b.ny),
-                jnp.asarray(b.ndiag_tile),
+                self._put(b.sx),
+                self._put(b.sy),
+                self._put(b.nx.reshape(-1, 128)).reshape(-1),
+                self._put(b.ny.reshape(-1, 128)).reshape(-1),
+                self._put(b.ndiag_tile),
                 mesh=self.mesh,
                 n_diags=-(-b.max_diags // 32) * 32,
                 cfg=self.sw_cfg,
@@ -89,8 +105,6 @@ class ShardedEngine:
         return unpack_scores(buckets, results, len(pairs), np.int32)
 
     def pairhmm(self, batches) -> np.ndarray:
-        import jax.numpy as jnp
-
         from genomax.dist.sharded import pairhmm_forward_sharded
 
         stats = RunStats()
@@ -105,18 +119,18 @@ class ShardedEngine:
         t0 = time.perf_counter()
         pending = [
             pairhmm_forward_sharded(
-                jnp.asarray(b.rchar),
-                jnp.asarray(b.qr),
-                jnp.asarray(b.mmv),
-                jnp.asarray(b.gapm),
-                jnp.asarray(b.qi),
-                jnp.asarray(b.qd),
-                jnp.asarray(b.qg),
-                jnp.asarray(b.hap),
-                jnp.asarray(b.meta),
-                jnp.asarray(b.rl),
-                jnp.asarray(b.hl),
-                jnp.asarray(b.ndiag_tile),
+                self._put(b.rchar),
+                self._put(b.qr),
+                self._put(b.mmv),
+                self._put(b.gapm),
+                self._put(b.qi),
+                self._put(b.qd),
+                self._put(b.qg),
+                self._put(b.hap),
+                self._put(b.meta),
+                self._put(b.rl.reshape(-1, 128)).reshape(-1),
+                self._put(b.hl.reshape(-1, 128)).reshape(-1),
+                self._put(b.ndiag_tile),
                 mesh=self.mesh,
                 n_diags=-(-b.max_diags // self.cfg.rescale_period)
                 * self.cfg.rescale_period,
