@@ -23,6 +23,12 @@ invariant the single-chip kernel relies on. Total blocks =
 ceil(n_diags/U) + K - 1 (the classic pipeline fill/drain bubble; it
 amortizes away when n_diags >> K*U, i.e. exactly the huge-pair regime
 this path exists for).
+
+SW only, deliberately: PairHMM's x axis is the READ (<= a few hundred
+bp — nothing to shard), and long HAPLOTYPES are the stream axis, which
+the HBM-streamed kernel already handles at any length on one chip
+(kernels/pairhmm_pallas.py). Sharding PairHMM's read axis would add
+cross-strip exponent reconciliation for no workload that needs it.
 """
 
 from __future__ import annotations
