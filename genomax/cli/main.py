@@ -58,7 +58,10 @@ def _build_engine(args):
 def _add_engine_args(p):
     p.add_argument("--backend", default="auto", choices=["auto", "pallas", "lax"])
     p.add_argument("--unroll", type=int, default=32,
-                   help="wavefront steps per loop iteration (tuning knob)")
+                   choices=[1, 2, 4, 8, 16, 32], metavar="{1,2,4,8,16,32}",
+                   help="wavefront steps per loop iteration (tuning knob; "
+                        "must divide the streamed kernels' 256-diagonal "
+                        "DMA chunk and the pack's 32-step window slack)")
     p.add_argument("--interpret", action="store_true", help="Pallas interpreter mode")
     p.add_argument("--match", type=int, default=1)
     p.add_argument("--mismatch", type=int, default=-1)
@@ -145,7 +148,7 @@ def _pairhmm_resumable(args, eng, batches) -> int:
             json.dump({"input": os.path.abspath(args.input),
                        "completed_batches": i + 1, "lines": lines}, f)
     print("elapsed %f" % (time.time() - t0))
-    if args.stats:
+    if args.stats and eng.last_stats is not None:
         print(json.dumps(eng.last_stats.as_dict()), file=sys.stderr)
     return 0
 

@@ -55,10 +55,9 @@ class EngineConfig:
     block-size sweep, hiprun.sh:27-39). A tile is always 128 pairs — the
     VPU lane width (kernels/wavefront.py LANES)."""
 
-    # Sublane-dim padding quantum for the packed position axis. Multiple
-    # of 8 (the f32/i32 sublane quantum).
-    lane_quantum: int = 8
     # Python-unrolled wavefront steps per fori_loop iteration (SW).
+    # Must divide STREAM_CHUNK (256) and stay <= pack MAX_UNROLL (32):
+    # one of 1, 2, 4, 8, 16, 32.
     unroll: int = 32
     # Backend: "pallas" (TPU / interpret), "lax" (pure-JAX wavefront).
     backend: str = "auto"

@@ -22,7 +22,7 @@ import numpy as np
 
 from genomax.config import EngineConfig, PairHMMConfig, SWConfig
 from genomax.dist.mesh import DATA_AXIS
-from genomax.engine.executor import RunStats
+from genomax.engine.executor import Engine, RunStats
 from genomax.pack.bucketing import (
     pack_pairhmm_batches,
     pack_sw_pairs,
@@ -71,14 +71,20 @@ class ShardedEngine:
             arr.shape, sharding, lambda idx: arr[idx]
         )
 
+    # Oversized-pair offload, same policy as the single-chip engine.
+    _sw_offload_mask = Engine._sw_offload_mask
+
     def sw_scores(self, pairs) -> np.ndarray:
         from genomax.dist.sharded import sw_forward_sharded
 
         stats = RunStats(n_jobs=len(pairs))
+        off = self._sw_offload_mask(pairs)
         t0 = time.perf_counter()
         buckets = [
             pad_tiles_to(b, self.n_devices)
-            for b in pack_sw_pairs(pairs, self.cfg.lane_quantum)
+            for b in pack_sw_pairs(
+                pairs, job_mask=None if off is None else ~off
+            )
         ]
         stats.pack_s = time.perf_counter() - t0
         stats.buckets = len(buckets)
@@ -96,13 +102,23 @@ class ShardedEngine:
                 unroll=self.cfg.unroll,
                 backend=self.backend,
                 interpret=self.interpret,
+                stream_vmem_rows=self.cfg.stream_vmem_rows,
             )
             for b in buckets
         ]
         results = [np.asarray(r) for r in pending]
         stats.exec_s = time.perf_counter() - t0
+        out = unpack_scores(buckets, results, len(pairs), np.int32)
+        if off is not None:
+            from genomax import native
+
+            idx = np.nonzero(off)[0]
+            out[idx] = native.sw_scores_native(
+                [pairs[i] for i in idx], self.sw_cfg
+            )
+            stats.offloaded_jobs = len(idx)
         self.last_stats = stats
-        return unpack_scores(buckets, results, len(pairs), np.int32)
+        return out
 
     def pairhmm(self, batches) -> np.ndarray:
         from genomax.dist.sharded import pairhmm_forward_sharded
@@ -110,7 +126,7 @@ class ShardedEngine:
         stats = RunStats()
         t0 = time.perf_counter()
         buckets, n = pack_pairhmm_batches(
-            batches, self.cfg.lane_quantum, self.phmm_cfg.phred_offset
+            batches, self.phmm_cfg.phred_offset
         )
         buckets = [pad_tiles_to(b, self.n_devices) for b in buckets]
         stats.pack_s = time.perf_counter() - t0
@@ -137,6 +153,7 @@ class ShardedEngine:
                 rescale_period=self.cfg.rescale_period,
                 backend=self.backend,
                 interpret=self.interpret,
+                stream_vmem_rows=self.cfg.stream_vmem_rows,
             )
             for b in buckets
         ]

@@ -28,7 +28,10 @@ from genomax.engine.executor import flatten_tiles
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "n_diags", "cfg", "unroll", "backend", "interpret"),
+    static_argnames=(
+        "mesh", "n_diags", "cfg", "unroll", "backend", "interpret",
+        "stream_vmem_rows",
+    ),
 )
 def sw_forward_sharded(
     sx,  # (NT, NXs, 128)
@@ -43,17 +46,27 @@ def sw_forward_sharded(
     unroll: int = 32,
     backend: str = "lax",
     interpret: bool = False,
+    stream_vmem_rows: int = 6144,
 ):
     """Batched SW over a device mesh. The tile dimension (and the per-tile
     diagonal counts) are sharded along the data axis; every chip returns
     its shard's (NT_local, 128) scores and the full tile batch is
-    all-gathered. NT must divide by #devices."""
+    all-gathered. NT must divide by #devices. Long-stream buckets route
+    to the HBM-streamed kernel, like the single-chip engine."""
 
     def shard_fn(sx_s, sy_s, nx_s, ny_s, nd_s):
         if backend == "pallas":
-            from genomax.kernels.sw_pallas import sw_forward_pallas
+            from genomax.kernels.sw_pallas import (
+                sw_forward_pallas,
+                sw_forward_pallas_streamed,
+            )
 
-            local = sw_forward_pallas(
+            fn = (
+                sw_forward_pallas_streamed
+                if sy_s.shape[1] > stream_vmem_rows
+                else sw_forward_pallas
+            )
+            local = fn(
                 sx_s, sy_s, nd_s, cfg=cfg, unroll=unroll, interpret=interpret,
             )
         else:
@@ -78,7 +91,10 @@ def sw_forward_sharded(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "n_diags", "rescale_period", "backend", "interpret"),
+    static_argnames=(
+        "mesh", "n_diags", "rescale_period", "backend", "interpret",
+        "stream_vmem_rows",
+    ),
 )
 def pairhmm_forward_sharded(
     rchar,  # (NT, NXs, 128)
@@ -99,15 +115,24 @@ def pairhmm_forward_sharded(
     rescale_period: int = 16,
     backend: str = "lax",
     interpret: bool = False,
+    stream_vmem_rows: int = 6144,
 ):
     """Batched PairHMM forward over a device mesh (see sw_forward_sharded)."""
 
     def shard_fn(rchar_s, qr_s, mmv_s, gapm_s, qi_s, qd_s, qg_s, hap_s, meta_s,
                  rl_s, hl_s, nd_s):
         if backend == "pallas":
-            from genomax.kernels.pairhmm_pallas import pairhmm_forward_pallas
+            from genomax.kernels.pairhmm_pallas import (
+                pairhmm_forward_pallas,
+                pairhmm_forward_pallas_streamed,
+            )
 
-            local = pairhmm_forward_pallas(
+            fn = (
+                pairhmm_forward_pallas_streamed
+                if hap_s.shape[1] > stream_vmem_rows
+                else pairhmm_forward_pallas
+            )
+            local = fn(
                 rchar_s, qr_s, mmv_s, gapm_s, qi_s, qd_s, qg_s, hap_s, meta_s,
                 nd_s, rescale_period=rescale_period, interpret=interpret,
             )

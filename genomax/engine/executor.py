@@ -40,8 +40,22 @@ class EngineError(RuntimeError):
 
 def _run_buckets(stage, buckets, dispatch):
     """Dispatch all buckets async, fence each; one retry per bucket on
-    transient device errors, then a structured EngineError."""
-    pending = [(i, b, dispatch(b)) for i, b in enumerate(buckets)]
+    transient errors (trace/compile failures raise at dispatch, device
+    failures at the fence — both are covered), then a structured
+    EngineError."""
+
+    def _shape(b):
+        a = getattr(b, "sx", None)
+        if a is None:
+            a = getattr(b, "rchar", None)
+        return None if a is None else a.shape
+
+    pending = []
+    for i, b in enumerate(buckets):
+        try:
+            pending.append((i, b, dispatch(b)))
+        except Exception as e:
+            raise EngineError(stage, i, _shape(b), e) from e
     results = []
     for i, b, r in pending:
         try:
@@ -50,10 +64,7 @@ def _run_buckets(stage, buckets, dispatch):
             try:
                 results.append(np.asarray(dispatch(b)))  # one retry
             except Exception as e:
-                shape = getattr(b, "sx", getattr(b, "rchar", None))
-                raise EngineError(
-                    stage, i, None if shape is None else shape.shape, e
-                ) from e
+                raise EngineError(stage, i, _shape(b), e) from e
     return results
 from genomax.pack.bucketing import (
     pack_pairhmm_batches,
@@ -206,8 +217,7 @@ class Engine:
         off = self._sw_offload_mask(pairs)
         t0 = time.perf_counter()
         buckets = pack_sw_pairs(
-            pairs, self.cfg.lane_quantum,
-            job_mask=None if off is None else ~off,
+            pairs, job_mask=None if off is None else ~off
         )
         stats.pack_s = time.perf_counter() - t0
         stats.buckets = len(buckets)
@@ -303,7 +313,6 @@ class Engine:
         t0 = time.perf_counter()
         buckets, n = pack_pairhmm_batches(
             batches,
-            self.cfg.lane_quantum,
             self.phmm_cfg.phred_offset,
             job_mask=None if off is None else ~off,
         )

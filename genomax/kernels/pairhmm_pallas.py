@@ -255,7 +255,11 @@ def pairhmm_forward_pallas_streamed(
     interpret: bool = False,
 ) -> jax.Array:
     """pairhmm_forward_pallas with an HBM-resident haplotype stream."""
-    assert STREAM_CHUNK % rescale_period == 0
+    if STREAM_CHUNK % rescale_period or rescale_period > 32:
+        raise ValueError(
+            f"rescale_period must be one of 1,2,4,8,16,32 "
+            f"(got {rescale_period}); see sw_forward_pallas_streamed"
+        )
     rchar = rchar.astype(jnp.int32)
     hap = hap.astype(jnp.int32)
     nt, nxs, _ = rchar.shape

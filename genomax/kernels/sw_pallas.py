@@ -214,7 +214,12 @@ def sw_forward_pallas_streamed(
     """sw_forward_pallas with an HBM-resident stream (see
     _kernel_streamed). Requires the pack's STREAM_CHUNK-quantized
     anchor."""
-    assert STREAM_CHUNK % unroll == 0
+    if STREAM_CHUNK % unroll or unroll > 32:
+        raise ValueError(
+            f"unroll must be one of 1,2,4,8,16,32 (got {unroll}): it must "
+            f"divide the {STREAM_CHUNK}-diagonal DMA chunk and stay within "
+            f"the pack's 32-step window slack"
+        )
     sx = sx.astype(jnp.int32)
     sy = sy.astype(jnp.int32)
     nt, nxs, _ = sx.shape

@@ -54,13 +54,12 @@ def _round_up(x: int, q: int) -> int:
 _LADDER = (16, 24, 32, 48, 64, 96, 136, 192, 272, 384, 544, 768)
 
 
-def _level(x: int, q: int = SUB_Q) -> int:
+def _level(x: int) -> int:
     """Geometric padding level: the smallest ladder element >= x, floored
     at 64. Bounds the number of distinct compiled kernel shapes (~2 per
     octave) while capping per-dim padding waste at ~41% (typ. ~17%).
     The floor merges tiny-read buckets: their compute is negligible but
     every extra bucket costs a ~10ms kernel launch and a Mosaic compile."""
-    del q
     x = max(x, 64)
     scale = 1
     while True:
@@ -78,10 +77,10 @@ def _quantize_tiles(n: int) -> int:
     t = max(1, (n + LANES - 1) // LANES)
     if t <= 8:
         return t
-    q = 1
-    while q * 8 < t:
-        q *= 2
-    return _round_up(t, max(1, q // 2))
+    p = 1
+    while p * 2 < t:
+        p *= 2
+    return _round_up(t, max(1, p // 4))
 
 
 @dataclasses.dataclass
@@ -167,7 +166,9 @@ def pad_tiles_to(bucket, multiple: int):
     kw = {}
     for f in dataclasses.fields(bucket):
         v = getattr(bucket, f.name)
-        if f.name == "ndiag_tile":
+        if f.name in ("perm", "n_valid"):
+            kw[f.name] = v  # index into the ORIGINAL job list; never pad
+        elif f.name == "ndiag_tile":
             kw[f.name] = padt(v, 1)
         elif f.name in ("sx", "rchar"):
             kw[f.name] = padt(v, PAD_X)
@@ -192,7 +193,7 @@ def _to_tiles(flat: np.ndarray) -> np.ndarray:
     )
 
 
-def pack_sw_pairs(pairs, lane_quantum: int = SUB_Q, job_mask=None) -> list[SWPacked]:
+def pack_sw_pairs(pairs, job_mask=None) -> list[SWPacked]:
     """Bucket and pack SWPair jobs. Sequences are raw bytes (the '\\n'
     quirk is preserved upstream by the parser: a trailing newline byte is
     part of the sequence). ``job_mask`` (bool, len(pairs)): pack only the
@@ -203,7 +204,7 @@ def pack_sw_pairs(pairs, lane_quantum: int = SUB_Q, job_mask=None) -> list[SWPac
     sx_len = np.array([len(p.sx) for p in pairs], dtype=np.int64)
     sy_len = np.array([len(p.sy) for p in pairs], dtype=np.int64)
     # Bucket by the x (sublane) level only — see pack_pairhmm_batches.
-    nxq = np.array([_level(int(l) + 2, lane_quantum) for l in sx_len])
+    nxq = np.array([_level(int(l) + 2) for l in sx_len])
     if job_mask is not None:
         nxq = np.where(np.asarray(job_mask), nxq, -1)
         n = int(np.asarray(job_mask).sum())
@@ -270,7 +271,6 @@ def unpack_scores(buckets, results, n_total: int, dtype=np.int32) -> np.ndarray:
 
 def pack_pairhmm_batches(
     batches,
-    lane_quantum: int = SUB_Q,
     phred_offset: float = 33.0,
     job_mask=None,
 ) -> tuple[list[PairHMMPacked], int]:
@@ -311,7 +311,7 @@ def pack_pairhmm_batches(
     # sizes the per-bucket stream buffer and each tile's sweep bound
     # (tiles are sorted by diagonal count), so splitting on it would just
     # multiply kernel launches (~10ms fixed cost each).
-    nxq = np.array([_level(int(l) + 2, lane_quantum) for l in rlen])
+    nxq = np.array([_level(int(l) + 2) for l in rlen])
     if job_mask is not None:
         nxq = np.where(np.asarray(job_mask), nxq, -1)
 

@@ -104,3 +104,20 @@ def test_sharded_engine_matches_local(mesh):
     np.testing.assert_allclose(
         dist.pairhmm([batch]), local.pairhmm([batch]), atol=1e-4
     )
+
+
+def test_sharded_engine_exactly_full_bucket(mesh):
+    """Regression: pad_tiles_to must never pad perm/n_valid — a bucket of
+    exactly 128 pairs (one full tile) used to crash unpack_scores."""
+    from genomax.config import EngineConfig
+    from genomax.dist.engine import ShardedEngine
+
+    rng = np.random.default_rng(23)
+    pairs = []
+    for _ in range(128):
+        a = rng.choice(list(b"ATGC"), 20).astype(np.uint8).tobytes()
+        b = rng.choice(list(b"ATGC"), 24).astype(np.uint8).tobytes()
+        pairs.append(SWPair(sx=a, sy=b))
+    dist = ShardedEngine(mesh, EngineConfig(backend="lax"))
+    got = dist.sw_scores(pairs)
+    np.testing.assert_array_equal(got, oracle.sw_scores_pairs(pairs))
