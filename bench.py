@@ -100,7 +100,7 @@ def main():
         from genomax.kernels.pairhmm_pallas import pairhmm_forward_pallas
         from genomax.pack.bucketing import pack_pairhmm_batches
 
-        big = generate_pairhmm_batch(4096, 8, read_len=151, hap_len=300, seed=0)
+        big = generate_pairhmm_batch(8192, 8, read_len=151, hap_len=300, seed=0)
         bks, _ = pack_pairhmm_batches([big])
         b = bks[0]
         dev = tuple(jnp.asarray(x) for x in (b.rchar, b.qr, b.mmv, b.gapm,
@@ -113,7 +113,7 @@ def main():
             np.asarray(pairhmm_forward_pallas(*dev))
             bestp = min(bestp, time.time() - t0)
         pc = int((b.rl.astype(np.int64) * b.hl).sum())
-        log(f"PairHMM 32768x151x300: {bestp*1e3:.0f} ms = {pc/bestp/1e9:.2f} "
+        log(f"PairHMM 65536x151x300: {bestp*1e3:.0f} ms = {pc/bestp/1e9:.2f} "
             f"GCUPS (ref C {0.106} GCUPS)")
     except Exception as e:  # secondary must not break the headline line
         log(f"PairHMM secondary failed: {e!r}")

@@ -256,6 +256,7 @@ class PhmmConsts:
     y0row: Any  # (NXs, L) f32: 2**120 / hap_len at sublane 0, 0 elsewhere
     rl: Any  # (1, L) int32
     hl: Any  # (1, L) int32
+    rlhl: Any  # (1, L) int32: rl + hl (the pair's last live diagonal)
     ii: Any  # (NXs, L) int32 sublane iota
     window: Callable  # d -> (NXs, L) haplotype stream window
     roll1: Callable
@@ -282,6 +283,7 @@ def phmm_make_consts(rchar, qr, mmv, gapm, qi, qd, qg, rl, hl, window,
         y0row=jnp.where(row0, y0, 0.0),
         rl=rl,
         hl=hl,
+        rlhl=rl + hl,
         ii=ii,
         window=window,
         roll1=roll1,
@@ -341,9 +343,12 @@ def phmm_step(d, state, c: PhmmConsts):
     # Last-row likelihood accumulation (antidiagsPairHMM.c:206-212): the
     # cell (read_len, j) lands at sublane rl exactly once per diagonal,
     # in increasing-j order — the reference's summation order. Cells with
-    # j > hap_len are masked out; j <= 0 contributes exact zeros (col-0
-    # zeros / untouched sublanes), so no lower-bound check is needed.
-    lmask = c.rlmask & (c.ii >= d - c.hl)
+    # j > hap_len are masked out via the per-pair last-live-diagonal
+    # d <= rl+hl — a 1-row compare broadcast against the rl mask (the
+    # only cell rlmask admits at diagonal d is j = d-rl, so j <= hl is
+    # exactly d <= rl+hl); j <= 0 contributes exact zeros (col-0 zeros /
+    # untouched sublanes), so no lower-bound check is needed.
+    lmask = c.rlmask & (jnp.asarray(d, jnp.int32) <= c.rlhl)
     acc = acc + jnp.where(lmask, (Mn + Xn) * cmul, 0.0)
 
     return (
