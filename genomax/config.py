@@ -33,6 +33,20 @@ class SWConfig:
     gap_open: int = -3
     gap_extend: int = -1
 
+    def validate(self) -> "SWConfig":
+        """The kernels' mask-free pad-decay formulation (and local
+        alignment itself) requires penalties to be penalties: mismatch
+        and gap_extend strictly negative, gap_open non-positive, match
+        positive. Fuzz-tested across this domain vs the full-matrix
+        oracle (tests/test_wavefront.py)."""
+        if not (self.match > 0 and self.mismatch < 0
+                and self.gap_open <= 0 and self.gap_extend < 0):
+            raise ValueError(
+                f"unsupported SW scoring {self}: need match > 0, "
+                f"mismatch < 0, gap_open <= 0, gap_extend < 0"
+            )
+        return self
+
 
 @dataclasses.dataclass(frozen=True)
 class PairHMMConfig:

@@ -49,7 +49,7 @@ class ShardedEngine:
         self.mesh = mesh
         self.n_devices = mesh.devices.size
         self.cfg = cfg
-        self.sw_cfg = sw_cfg
+        self.sw_cfg = sw_cfg.validate()
         self.phmm_cfg = phmm_cfg
         self.interpret = interpret
         self.backend = cfg.resolve_backend()

@@ -161,7 +161,7 @@ class Engine:
 
         genomax.setup_compilation_cache()
         self.cfg = cfg
-        self.sw_cfg = sw_cfg
+        self.sw_cfg = sw_cfg.validate()
         self.phmm_cfg = phmm_cfg
         self.interpret = interpret
         self.backend = cfg.resolve_backend()

@@ -98,3 +98,34 @@ def test_pairhmm_deep_decay_rescale():
     # ~|want| orders below the 2**120 init, far past the 2**40 trigger.
     assert want[0] < -40
     np.testing.assert_allclose(got, want, atol=5e-3)
+
+
+def test_sw_random_scoring_configs_vs_oracle():
+    """The mask-free formulation must hold across the whole supported
+    scoring domain (match>0, mismatch<0, open<=0, extend<0), including
+    extend > open and zero gap-open."""
+    from genomax.config import SWConfig
+
+    rng = np.random.default_rng(0)
+    for _ in range(8):
+        cfg = SWConfig(
+            match=int(rng.integers(1, 6)),
+            mismatch=-int(rng.integers(1, 6)),
+            gap_open=-int(rng.integers(0, 8)),
+            gap_extend=-int(rng.integers(1, 5)),
+        )
+        pairs = _random_pairs(rng, 6, 1, 35)
+        e = Engine(EngineConfig(backend="lax"), sw_cfg=cfg)
+        np.testing.assert_array_equal(
+            e.sw_scores(pairs), oracle.sw_scores_pairs(pairs, cfg),
+            err_msg=str(cfg),
+        )
+
+
+def test_sw_invalid_scoring_rejected():
+    from genomax.config import SWConfig
+
+    with pytest.raises(ValueError):
+        Engine(EngineConfig(backend="lax"), sw_cfg=SWConfig(mismatch=1))
+    with pytest.raises(ValueError):
+        Engine(EngineConfig(backend="lax"), sw_cfg=SWConfig(gap_extend=0))
