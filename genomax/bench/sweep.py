@@ -99,3 +99,76 @@ def run_sweep(lengths, unrolls, num_alignments, backend, json_out=None):
         with open(json_out, "w") as f:
             json.dump(rows, f, indent=1)
     return rows
+
+
+def bench_pairhmm_point(n_reads: int, n_haps: int, read_len: int,
+                        hap_len: int, backend: str, trials: int = 3,
+                        seed: int = 0):
+    """One PairHMM sweep point (the reference tuned PairHMM the same way
+    but withheld the numbers, report_gkl_hpps.pdf §5)."""
+    import jax.numpy as jnp
+
+    from genomax.config import EngineConfig
+    from genomax.engine.executor import Engine
+    from genomax.io.generator import generate_pairhmm_batch
+    from genomax.pack.bucketing import pack_pairhmm_batches
+
+    batch = generate_pairhmm_batch(n_reads, n_haps, read_len=read_len,
+                                   hap_len=hap_len, seed=seed)
+    eng = Engine(EngineConfig(backend=backend))
+    buckets, n = pack_pairhmm_batches([batch])
+    runs = []
+    cells = 0
+    for b in buckets:
+        cells += int((b.rl.astype(np.int64) * b.hl).sum())
+        if eng.backend == "pallas":
+            from genomax.kernels.pairhmm_pallas import pairhmm_forward_pallas
+
+            args = tuple(jnp.asarray(x) for x in (
+                b.rchar, b.qr, b.mmv, b.gapm, b.qi, b.qd, b.qg, b.hap,
+                b.meta, b.ndiag_tile))
+            runs.append(lambda a=args: pairhmm_forward_pallas(*a))
+        else:
+            from genomax.engine.executor import _phmm_dense_jit, flatten_tiles
+
+            args = (flatten_tiles(b.rchar), flatten_tiles(b.qr),
+                    flatten_tiles(b.mmv), flatten_tiles(b.gapm),
+                    flatten_tiles(b.qi), flatten_tiles(b.qd),
+                    flatten_tiles(b.qg), flatten_tiles(b.hap),
+                    jnp.asarray(b.rl), jnp.asarray(b.hl))
+            nd = b.max_diags
+            runs.append(lambda a=args, nd=nd: _phmm_dense_jit(
+                *a, n_diags=-(-nd // 16) * 16))
+
+    _ = [_force(r()) for r in runs]
+    best = float("inf")
+    reps = 3
+    for _t in range(trials):
+        t0 = time.perf_counter()
+        outs = [r() for r in runs for _rep in range(reps)]
+        for o in outs:
+            _force(o)
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return {
+        "pairs": n,
+        "read_len": read_len,
+        "hap_len": hap_len,
+        "elapsed_ms": round(best * 1e3, 3),
+        "gcups": round(cells / best / 1e9, 3),
+    }
+
+
+def run_pairhmm_sweep(points, backend, json_out=None):
+    """points: list of (n_reads, n_haps, read_len, hap_len)."""
+    rows = []
+    print(f"PairHMM sweep, backend={backend}")
+    print(f"{'pairs':>8} {'read':>6} {'hap':>6} {'ms':>10} {'GCUPS':>8}")
+    for nr, nh, rl, hl in points:
+        r = bench_pairhmm_point(nr, nh, rl, hl, backend)
+        rows.append(r)
+        print(f"{r['pairs']:>8} {rl:>6} {hl:>6} {r['elapsed_ms']:>10.1f} "
+              f"{r['gcups']:>8.2f}")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(rows, f, indent=1)
+    return rows

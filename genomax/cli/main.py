@@ -168,6 +168,15 @@ def cmd_generate(args) -> int:
 
 
 def cmd_bench(args) -> int:
+    if args.kernel == "pairhmm":
+        from genomax.bench.sweep import run_pairhmm_sweep
+
+        pts = []
+        for spec in args.pairhmm_points.split(";"):
+            nr, nh, rl, hl = (int(x) for x in spec.split(","))
+            pts.append((nr, nh, rl, hl))
+        run_pairhmm_sweep(pts, backend=args.backend, json_out=args.json)
+        return 0
     from genomax.bench.sweep import run_sweep
 
     run_sweep(
@@ -242,6 +251,10 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_generate)
 
     p = sub.add_parser("bench", help="length x config GCUPS sweep")
+    p.add_argument("--kernel", default="sw", choices=["sw", "pairhmm"])
+    p.add_argument("--pairhmm-points",
+                   default="1024,8,151,300;4096,8,151,300;1024,8,250,400",
+                   help="semicolon-separated n_reads,n_haps,read_len,hap_len")
     p.add_argument("--lengths", default="64,128,256,512,1024")
     p.add_argument("--unrolls", default="8,16,32")
     p.add_argument("--num", type=int, default=25000, help="alignments per point")

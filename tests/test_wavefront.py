@@ -107,7 +107,7 @@ def test_sw_random_scoring_configs_vs_oracle():
     from genomax.config import SWConfig
 
     rng = np.random.default_rng(0)
-    for _ in range(8):
+    for _ in range(4):
         cfg = SWConfig(
             match=int(rng.integers(1, 6)),
             mismatch=-int(rng.integers(1, 6)),
