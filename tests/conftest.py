@@ -7,7 +7,11 @@ from the reference's differential-testing approach.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The JAX_PLATFORMS env var is ignored when a TPU plugin self-registers
+# (observed with the tunneled-TPU plugin), so force CPU through the
+# config API instead — otherwise "CPU" tests silently round-trip the
+# TPU at ~25ms per dispatch.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +19,10 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
