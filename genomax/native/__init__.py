@@ -64,6 +64,20 @@ def load(rebuild: bool = False):
             u8p, i64p, f64p, f64p, f64p, f64p, u8p, i64p, i64p, i64p,
             ctypes.c_int64, f64p,
         ]
+        i8p = np.ctypeslib.ndpointer(np.int8, flags="C")
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C")
+        c64 = ctypes.c_int64
+        lib.gx_pack_sw_fill.restype = None
+        lib.gx_pack_sw_fill.argtypes = [
+            u8p, i64p, u8p, i64p, i64p, c64, c64, c64, c64,
+            i8p, i8p, i32p, i32p,
+        ]
+        lib.gx_pack_phmm_fill.restype = None
+        lib.gx_pack_phmm_fill.argtypes = [
+            u8p, i64p, u8p, u8p, u8p, u8p, u8p, i64p, i64p, i64p, i64p,
+            c64, c64, c64, c64, ctypes.c_double,
+            i8p, f32p, f32p, f32p, f32p, f32p, f32p, i8p, i32p, i32p,
+        ]
         _lib = lib
         return _lib
 

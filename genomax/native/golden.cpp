@@ -139,4 +139,75 @@ void gx_pairhmm_batch(const uint8_t* read_data, const int64_t* read_off,
   }
 }
 
+// ---------------------------------------------------------------------------
+// Packing fills — the native data-loader path (the reference's host mains
+// are C; our engine's only per-pair host loop is this fill, so it is
+// native too). Outputs are slot-major 2D buffers pre-filled with pad
+// codes by the caller; the sublane-major transpose stays in numpy.
+// ---------------------------------------------------------------------------
+
+// order[r] = original pair index packed into slot r (r < n).
+void gx_pack_sw_fill(const uint8_t* sx_data, const int64_t* sx_off,
+                     const uint8_t* sy_data, const int64_t* sy_off,
+                     const int64_t* order, int64_t n, int64_t nxs,
+                     int64_t nds, int64_t anchor, int8_t* sx_out,
+                     int8_t* sy_out, int32_t* nx, int32_t* ny) {
+  for (int64_t r = 0; r < n; ++r) {
+    const int64_t g = order[r];
+    const int64_t lx = sx_off[g + 1] - sx_off[g];
+    const int64_t ly = sy_off[g + 1] - sy_off[g];
+    std::memcpy(sx_out + r * nxs + 1, sx_data + sx_off[g], lx);
+    // reversed stream: buf[anchor-1-k] = sy[k]
+    const uint8_t* sy = sy_data + sy_off[g];
+    int8_t* row = sy_out + r * nds;
+    for (int64_t k = 0; k < ly; ++k) row[anchor - 1 - k] = sy[k];
+    nx[r] = static_cast<int32_t>(lx) + 1;
+    ny[r] = static_cast<int32_t>(ly) + 1;
+  }
+}
+
+// PairHMM fill: raw phred+33 quality bytes decoded through a 256-entry
+// LUT; jobs = (read index, hap index) cross-product entries, order[r] =
+// job packed into slot r.
+void gx_pack_phmm_fill(const uint8_t* read_data, const int64_t* read_off,
+                       const uint8_t* bq, const uint8_t* iq,
+                       const uint8_t* dq, const uint8_t* gq,
+                       const uint8_t* hap_data, const int64_t* hap_off,
+                       const int64_t* job_r, const int64_t* job_h,
+                       const int64_t* order, int64_t n, int64_t nxs,
+                       int64_t nds, int64_t anchor, double phred_offset,
+                       int8_t* rchar, float* qr, float* mmv, float* gapm,
+                       float* qi, float* qd, float* qg, int8_t* hap,
+                       int32_t* rl, int32_t* hl) {
+  double tab[256];
+  for (int c = 0; c < 256; ++c)
+    tab[c] = pow(10.0, -((double)c - phred_offset) / 10.0);
+  for (int64_t r = 0; r < n; ++r) {
+    const int64_t g = order[r];
+    const int64_t ri = job_r[g], hi = job_h[g];
+    const int64_t ro = read_off[ri];
+    const int64_t L = read_off[ri + 1] - ro;
+    std::memcpy(rchar + r * nxs + 1, read_data + ro, L);
+    for (int64_t k = 0; k < L; ++k) {
+      const double Qr = tab[bq[ro + k]];
+      const double Qi = tab[iq[ro + k]];
+      const double Qd = tab[dq[ro + k]];
+      const double Qg = tab[gq[ro + k]];
+      const int64_t o = r * nxs + 1 + k;
+      qr[o] = static_cast<float>(Qr);
+      mmv[o] = static_cast<float>(1.0 - (Qi + Qd));
+      gapm[o] = static_cast<float>(1.0 - Qg);
+      qi[o] = static_cast<float>(Qi);
+      qd[o] = static_cast<float>(Qd);
+      qg[o] = static_cast<float>(Qg);
+    }
+    const int64_t ho = hap_off[hi];
+    const int64_t H = hap_off[hi + 1] - ho;
+    int8_t* row = hap + r * nds;
+    for (int64_t k = 0; k < H; ++k) row[anchor - 1 - k] = hap_data[ho + k];
+    rl[r] = static_cast<int32_t>(L);
+    hl[r] = static_cast<int32_t>(H);
+  }
+}
+
 }  // extern "C"

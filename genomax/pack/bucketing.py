@@ -160,7 +160,7 @@ def pad_tiles_to(bucket, multiple: int):
     extra = want - nt
 
     def padt(a, fill):
-        pad = np.full((extra,) + a.shape[1:], fill, a.dtype)
+        pad = _full((extra,) + a.shape[1:], fill, a.dtype)
         return np.concatenate([a, pad], axis=0)
 
     kw = {}
@@ -185,12 +185,24 @@ def pad_tiles_to(bucket, multiple: int):
     return type(bucket)(**kw)
 
 
+def _full(shape, fill, dtype):
+    """np.full through calloc'd pages: on this class of sandboxed hosts,
+    first-touch faults on malloc'd memory run ~30x slower than on
+    zero-pages (measured 3.6s vs 0.12s for 210 MB), so np.zeros + fill
+    beats np.full by that factor for large pack buffers."""
+    a = np.zeros(shape, dtype)
+    if fill:
+        a.fill(fill)
+    return a
+
+
 def _to_tiles(flat: np.ndarray) -> np.ndarray:
-    """(NT*128, NXs) row-major slots -> (NT, NXs, 128) sublane-major."""
+    """(NT*128, NXs) row-major slots -> (NT, NXs, 128) sublane-major.
+    Copy into calloc'd pages (see _full)."""
     nt = flat.shape[0] // LANES
-    return np.ascontiguousarray(
-        flat.reshape(nt, LANES, -1).swapaxes(1, 2)
-    )
+    out = np.zeros((nt, flat.shape[1], LANES), flat.dtype)
+    np.copyto(out, flat.reshape(nt, LANES, -1).swapaxes(1, 2))
+    return out
 
 
 def pack_sw_pairs(pairs, job_mask=None) -> list[SWPacked]:
@@ -199,10 +211,20 @@ def pack_sw_pairs(pairs, job_mask=None) -> list[SWPacked]:
     part of the sequence). ``job_mask`` (bool, len(pairs)): pack only the
     True jobs — perm still indexes the ORIGINAL pair list, so results
     scatter back alongside jobs computed elsewhere (e.g. the native
-    oversized-pair offload)."""
+    oversized-pair offload).
+
+    The per-pair fill loop runs through the native C++ data loader when
+    available (genomax/native/golden.cpp gx_pack_sw_fill; the reference's
+    host I/O layer is C too) with a pure-python fallback."""
+    from genomax import native
+
+    lib = native.load()
     n = len(pairs)
     sx_len = np.array([len(p.sx) for p in pairs], dtype=np.int64)
     sy_len = np.array([len(p.sy) for p in pairs], dtype=np.int64)
+    if lib is not None:
+        sx_data, sx_off = native._concat_with_offsets([p.sx for p in pairs])
+        sy_data, sy_off = native._concat_with_offsets([p.sy for p in pairs])
     # Bucket by the x (sublane) level only — see pack_pairhmm_batches.
     nxq = np.array([_level(int(l) + 2) for l in sx_len])
     if job_mask is not None:
@@ -229,19 +251,26 @@ def pack_sw_pairs(pairs, job_mask=None) -> list[SWPacked]:
         anchor = _round_up(int(ndiags.max()) + MAX_UNROLL, STREAM_CHUNK)
         nds = anchor + nxs
 
-        sx = np.full((slots, nxs), PAD_X, dtype=np.int8)
-        sy = np.full((slots, nds), PAD_STREAM, dtype=np.int8)
+        sx = _full((slots, nxs), PAD_X, np.int8)
+        sy = _full((slots, nds), PAD_STREAM, np.int8)
         nx = np.ones(slots, dtype=np.int32)
         ny = np.ones(slots, dtype=np.int32)
-        for r, gi in enumerate(idx):
-            p = pairs[gi]
-            sx[r, 1 : len(p.sx) + 1] = np.frombuffer(p.sx, np.uint8)
-            # reversed stream: buf[anchor-1-k] holds sy[k]
-            sy[r, anchor - len(p.sy) : anchor] = np.frombuffer(
-                p.sy, np.uint8
-            )[::-1]
-            nx[r] = len(p.sx) + 1
-            ny[r] = len(p.sy) + 1
+        if lib is not None:
+            lib.gx_pack_sw_fill(
+                sx_data, sx_off, sy_data, sy_off,
+                np.ascontiguousarray(idx), len(idx), nxs, nds, anchor,
+                sx, sy, nx, ny,
+            )
+        else:
+            for r, gi in enumerate(idx):
+                p = pairs[gi]
+                sx[r, 1 : len(p.sx) + 1] = np.frombuffer(p.sx, np.uint8)
+                # reversed stream: buf[anchor-1-k] holds sy[k]
+                sy[r, anchor - len(p.sy) : anchor] = np.frombuffer(
+                    p.sy, np.uint8
+                )[::-1]
+                nx[r] = len(p.sx) + 1
+                ny[r] = len(p.sy) + 1
         ndiag = (nx.astype(np.int64) + ny - 1).astype(np.int32)
         ndiag[len(idx):] = 1
         out.append(
@@ -276,25 +305,33 @@ def pack_pairhmm_batches(
 ) -> tuple[list[PairHMMPacked], int]:
     """Flatten batches into the global read-major pair list (the reference
     output order, pairHMMmatrix.c:207-258), decode phred once per read,
-    then bucket/pack the read×haplotype cross-product."""
-    reads = []  # (bases u8, qr, qi, qd, qg as f64 arrays)
+    then bucket/pack the read×haplotype cross-product. The per-job fill
+    (incl. phred decode) runs through the native C++ data loader when
+    available (gx_pack_phmm_fill), else pure python."""
+    from genomax import native
+
+    lib = native.load()
+    reads = []  # (bases u8, qr, qi, qd, qg as f64 arrays) [python path]
+    raw_reads = []  # (bases, bq, iq, dq, gq) raw bytes [native path]
     haps = []  # u8 arrays
     jobs_r = []
     jobs_h = []
     for b in batches:
-        r0 = len(reads)
+        r0 = len(raw_reads)
         h0 = len(haps)
         for rd in b.reads:
-            bases = np.frombuffer(rd.bases, np.uint8)
-            reads.append(
-                (
-                    bases,
-                    phred_to_error_prob(np.frombuffer(rd.base_q, np.uint8), phred_offset),
-                    phred_to_error_prob(np.frombuffer(rd.ins_q, np.uint8), phred_offset),
-                    phred_to_error_prob(np.frombuffer(rd.del_q, np.uint8), phred_offset),
-                    phred_to_error_prob(np.frombuffer(rd.gcp_q, np.uint8), phred_offset),
+            raw_reads.append((rd.bases, rd.base_q, rd.ins_q, rd.del_q, rd.gcp_q))
+            if lib is None:
+                bases = np.frombuffer(rd.bases, np.uint8)
+                reads.append(
+                    (
+                        bases,
+                        phred_to_error_prob(np.frombuffer(rd.base_q, np.uint8), phred_offset),
+                        phred_to_error_prob(np.frombuffer(rd.ins_q, np.uint8), phred_offset),
+                        phred_to_error_prob(np.frombuffer(rd.del_q, np.uint8), phred_offset),
+                        phred_to_error_prob(np.frombuffer(rd.gcp_q, np.uint8), phred_offset),
+                    )
                 )
-            )
         for hp in b.haplotypes:
             haps.append(np.frombuffer(hp, np.uint8))
         for ri in range(len(b.reads)):
@@ -305,8 +342,16 @@ def pack_pairhmm_batches(
     jobs_r = np.array(jobs_r, dtype=np.int64)
     jobs_h = np.array(jobs_h, dtype=np.int64)
     n = len(jobs_r)
-    rlen = np.array([len(r[0]) for r in reads], dtype=np.int64)[jobs_r]
+    rlen = np.array([len(r[0]) for r in raw_reads], dtype=np.int64)[jobs_r]
     hlen = np.array([len(h) for h in haps], dtype=np.int64)[jobs_h]
+    if lib is not None:
+        rd_data, rd_off = native._concat_with_offsets(
+            [r[0] for r in raw_reads])
+        bq_data, _ = native._concat_with_offsets([r[1] for r in raw_reads])
+        iq_data, _ = native._concat_with_offsets([r[2] for r in raw_reads])
+        dq_data, _ = native._concat_with_offsets([r[3] for r in raw_reads])
+        gq_data, _ = native._concat_with_offsets([r[4] for r in raw_reads])
+        hp_data, hp_off = native._concat_with_offsets(haps)
     # Bucket by the read (sublane) level only: the haplotype length only
     # sizes the per-bucket stream buffer and each tile's sweep bound
     # (tiles are sorted by diagonal count), so splitting on it would just
@@ -331,17 +376,30 @@ def pack_pairhmm_batches(
         )
         nds = anchor + nxs
 
-        rchar = np.full((slots, nxs), PAD_X, dtype=np.int8)
+        rchar = _full((slots, nxs), PAD_X, np.int8)
         qr = np.zeros((slots, nxs), dtype=np.float32)
         mmv = np.zeros((slots, nxs), dtype=np.float32)
         gapm = np.zeros((slots, nxs), dtype=np.float32)
         qi = np.zeros((slots, nxs), dtype=np.float32)
         qd = np.zeros((slots, nxs), dtype=np.float32)
         qg = np.zeros((slots, nxs), dtype=np.float32)
-        hap = np.full((slots, nds), PAD_STREAM, dtype=np.int8)
+        hap = _full((slots, nds), PAD_STREAM, np.int8)
         rl = np.zeros(slots, dtype=np.int32)
         hl = np.ones(slots, dtype=np.int32)
-        for r, gi in enumerate(idx):
+        if lib is not None:
+            lib.gx_pack_phmm_fill(
+                rd_data, rd_off, bq_data, iq_data, dq_data, gq_data,
+                hp_data, hp_off, jobs_r, jobs_h,
+                np.ascontiguousarray(idx), len(idx), nxs, nds, anchor,
+                phred_offset,
+                rchar, qr, mmv, gapm, qi, qd, qg, hap, rl, hl,
+            )
+            # padding slots keep hl=1 for the y0 divisor
+            hl[len(idx):] = 1
+            idx_fill = ()
+        else:
+            idx_fill = enumerate(idx)
+        for r, gi in idx_fill:
             bases, Qr, Qi, Qd, Qg = reads[jobs_r[gi]]
             L = len(bases)
             rchar[r, 1 : L + 1] = bases

@@ -45,3 +45,40 @@ def test_native_vs_python_oracle_random():
     got = native.pairhmm_native([batch])
     want = oracle.pairhmm_batch_log10(batch)
     np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+def test_native_pack_fill_matches_python(monkeypatch):
+    """The C++ data-loader fill and the pure-python fill must produce
+    byte-identical packed buckets."""
+    import genomax.native as native
+    from genomax.io.generator import generate_pairhmm_batch
+    from genomax.io.formats import SWPair
+    from genomax.pack import bucketing
+
+    if not native.available():
+        pytest.skip("native unavailable")
+
+    rng = np.random.default_rng(77)
+    pairs = []
+    for _ in range(40):
+        a = rng.choice(list(b"ATGCN\n"), int(rng.integers(1, 60))).astype(np.uint8).tobytes()
+        b = rng.choice(list(b"ATGCN\n"), int(rng.integers(1, 60))).astype(np.uint8).tobytes()
+        if len(a) > len(b):
+            a, b = b, a
+        pairs.append(SWPair(sx=a, sy=b))
+    batch = generate_pairhmm_batch(5, 3, read_len=33, hap_len=47, seed=7)
+
+    nat_sw = bucketing.pack_sw_pairs(pairs)
+    nat_ph, _ = bucketing.pack_pairhmm_batches([batch])
+    monkeypatch.setattr(native, "load", lambda rebuild=False: None)
+    py_sw = bucketing.pack_sw_pairs(pairs)
+    py_ph, _ = bucketing.pack_pairhmm_batches([batch])
+
+    import dataclasses
+    for a_, b_ in zip(nat_sw + nat_ph, py_sw + py_ph):
+        for f in dataclasses.fields(a_):
+            va, vb = getattr(a_, f.name), getattr(b_, f.name)
+            if isinstance(va, np.ndarray):
+                np.testing.assert_array_equal(va, vb, err_msg=f.name)
+            else:
+                assert va == vb, f.name
