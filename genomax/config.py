@@ -87,11 +87,14 @@ class EngineConfig:
     # overflow VMEM (~16 MB/core) run through the native C++ exact model
     # instead (the reference handles up to MAX_LINE_LENGTH 10000 on the
     # CPU; so do we). PairHMM applies half these bounds (it carries ~2x
-    # the per-position state). The diagonal count is effectively
-    # unbounded: buckets whose stream buffer exceeds stream_vmem_rows
-    # route to the HBM-streamed kernels (slab-DMA double buffering), so
-    # max_device_diags only caps pathological memory use.
-    max_device_len: int = 2048
+    # the per-position state). Measured on v5e: the streamed SW kernel
+    # compiles at x=1024 and fails by 1400; PairHMM at read=512 and
+    # fails by 640 — hence the 1024 default. The diagonal count is
+    # effectively unbounded: buckets whose stream buffer exceeds
+    # stream_vmem_rows route to the HBM-streamed kernels (slab-DMA
+    # double buffering), so max_device_diags only caps pathological
+    # memory use.
+    max_device_len: int = 1024
     max_device_diags: int = 1 << 20
     # Stream buffers larger than this many rows use the HBM-streamed
     # kernel variant instead of a VMEM-resident stream.
