@@ -122,12 +122,20 @@ def bench_pairhmm_point(n_reads: int, n_haps: int, read_len: int,
     for b in buckets:
         cells += int((b.rl.astype(np.int64) * b.hl).sum())
         if eng.backend == "pallas":
-            from genomax.kernels.pairhmm_pallas import pairhmm_forward_pallas
+            from genomax.kernels.pairhmm_pallas import (
+                pairhmm_forward_pallas,
+                pairhmm_forward_pallas_streamed,
+            )
 
+            fn = (
+                pairhmm_forward_pallas_streamed
+                if b.hap.shape[1] > eng.cfg.stream_vmem_rows
+                else pairhmm_forward_pallas
+            )
             args = tuple(jnp.asarray(x) for x in (
                 b.rchar, b.qr, b.mmv, b.gapm, b.qi, b.qd, b.qg, b.hap,
                 b.meta, b.ndiag_tile))
-            runs.append(lambda a=args: pairhmm_forward_pallas(*a))
+            runs.append(lambda a=args, f=fn: f(*a))
         else:
             from genomax.engine.executor import _phmm_dense_jit, flatten_tiles
 

@@ -283,6 +283,9 @@ def main(argv=None) -> int:
     except FileNotFoundError as e:
         print(f"genomax: error: no such file: {e.filename}", file=sys.stderr)
         return 2
+    except ValueError as e:
+        print(f"genomax: error: {e}", file=sys.stderr)
+        return 2
 
 
 if __name__ == "__main__":

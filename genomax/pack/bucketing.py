@@ -223,8 +223,16 @@ def pack_sw_pairs(pairs, job_mask=None) -> list[SWPacked]:
     sx_len = np.array([len(p.sx) for p in pairs], dtype=np.int64)
     sy_len = np.array([len(p.sy) for p in pairs], dtype=np.int64)
     if lib is not None:
-        sx_data, sx_off = native._concat_with_offsets([p.sx for p in pairs])
-        sy_data, sy_off = native._concat_with_offsets([p.sy for p in pairs])
+        # Masked-out (offloaded) pairs contribute empty slices: their
+        # bytes are never read by the fill, so don't copy them.
+        keep = (
+            (lambda i: True) if job_mask is None
+            else (lambda i, m=np.asarray(job_mask): bool(m[i]))
+        )
+        sx_data, sx_off = native._concat_with_offsets(
+            [p.sx if keep(i) else b"" for i, p in enumerate(pairs)])
+        sy_data, sy_off = native._concat_with_offsets(
+            [p.sy if keep(i) else b"" for i, p in enumerate(pairs)])
     # Bucket by the x (sublane) level only — see pack_pairhmm_batches.
     nxq = np.array([_level(int(l) + 2) for l in sx_len])
     if job_mask is not None:
@@ -320,6 +328,15 @@ def pack_pairhmm_batches(
         r0 = len(raw_reads)
         h0 = len(haps)
         for rd in b.reads:
+            L = len(rd.bases)
+            if not (len(rd.base_q) == len(rd.ins_q) == len(rd.del_q)
+                    == len(rd.gcp_q) == L):
+                raise ValueError(
+                    f"read with {L} bases has quality strings of lengths "
+                    f"{len(rd.base_q)}/{len(rd.ins_q)}/{len(rd.del_q)}/"
+                    f"{len(rd.gcp_q)} — all five fields must match "
+                    f"(pairHMMmatrix.c:214: len = (strlen-4)/5)"
+                )
             raw_reads.append((rd.bases, rd.base_q, rd.ins_q, rd.del_q, rd.gcp_q))
             if lib is None:
                 bases = np.frombuffer(rd.bases, np.uint8)
@@ -394,8 +411,6 @@ def pack_pairhmm_batches(
                 phred_offset,
                 rchar, qr, mmv, gapm, qi, qd, qg, hap, rl, hl,
             )
-            # padding slots keep hl=1 for the y0 divisor
-            hl[len(idx):] = 1
             idx_fill = ()
         else:
             idx_fill = enumerate(idx)

@@ -107,13 +107,15 @@ def test_sw_random_scoring_configs_vs_oracle():
     from genomax.config import SWConfig
 
     rng = np.random.default_rng(0)
-    for _ in range(4):
-        cfg = SWConfig(
+    cfgs = [SWConfig(match=2, mismatch=-3, gap_open=0, gap_extend=-1)]
+    for _ in range(3):
+        cfgs.append(SWConfig(
             match=int(rng.integers(1, 6)),
             mismatch=-int(rng.integers(1, 6)),
             gap_open=-int(rng.integers(0, 8)),
             gap_extend=-int(rng.integers(1, 5)),
-        )
+        ))
+    for cfg in cfgs:
         pairs = _random_pairs(rng, 6, 1, 35)
         e = Engine(EngineConfig(backend="lax"), sw_cfg=cfg)
         np.testing.assert_array_equal(
