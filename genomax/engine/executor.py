@@ -233,12 +233,20 @@ class Engine:
         stats.exec_s = time.perf_counter() - t0
         out = unpack_scores(buckets, results, len(pairs), np.int32)
         if off is not None:
-            from genomax import native
-
             idx = np.nonzero(off)[0]
-            out[idx] = native.sw_scores_native(
-                [pairs[i] for i in idx], self.sw_cfg
-            )
+            long_pairs = [pairs[i] for i in idx]
+            if self.backend == "pallas":
+                # strip-mined on-device kernel: arbitrary lengths at TPU
+                # speed (the reference caps at 10kbp on the CPU)
+                from genomax.kernels.sw_long import sw_scores_long
+
+                out[idx] = sw_scores_long(
+                    long_pairs, self.sw_cfg, interpret=self.interpret
+                )
+            else:
+                from genomax import native
+
+                out[idx] = native.sw_scores_native(long_pairs, self.sw_cfg)
             stats.offloaded_jobs = len(idx)
         self.last_stats = stats
         return out

@@ -98,3 +98,35 @@ def test_pairhmm_streamed_kernel_interpret():
     got = e.pairhmm([batch])
     want = oracle.pairhmm_batch_log10(batch)
     np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_sw_long_strip_kernel_interpret():
+    """The strip-mined long-pair kernel (HBM halo FIFO) vs the oracle,
+    with several strips and strip-boundary-crossing alignments."""
+    from genomax.kernels.sw_long import sw_scores_long
+
+    rng = np.random.default_rng(9)
+    ref = rng.choice(list(b"ATGC"), 300).astype(np.uint8).tobytes()
+    pairs = [
+        SWPair(sx=rng.choice(list(b"ATGC"), int(rng.integers(100, 280))).astype(np.uint8).tobytes(),
+               sy=rng.choice(list(b"ATGC"), int(rng.integers(100, 300))).astype(np.uint8).tobytes())
+        for _ in range(4)
+    ]
+    pairs.append(SWPair(sx=ref, sy=ref))  # max-score across every seam
+    got = sw_scores_long(pairs, strip_w=64, interpret=True)
+    np.testing.assert_array_equal(got, oracle.sw_scores_pairs(pairs))
+
+
+def test_engine_routes_long_pairs_to_strip_kernel():
+    from genomax.config import EngineConfig
+    from genomax.engine.executor import Engine as _E
+
+    rng = np.random.default_rng(10)
+    long_sx = rng.choice(list(b"ATGC"), 200).astype(np.uint8).tobytes()
+    long_sy = rng.choice(list(b"ATGC"), 230).astype(np.uint8).tobytes()
+    short = SWPair(sx=b"ACGTAC", sy=b"ACGTACGT")
+    pairs = [short, SWPair(sx=long_sx, sy=long_sy), short]
+    e = _E(EngineConfig(backend="pallas", max_device_len=128), interpret=True)
+    got = e.sw_scores(pairs)
+    assert e.last_stats.offloaded_jobs == 1
+    np.testing.assert_array_equal(got, oracle.sw_scores_pairs(pairs))
