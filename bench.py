@@ -118,6 +118,25 @@ def main():
     except Exception as e:  # secondary must not break the headline line
         log(f"PairHMM secondary failed: {e!r}")
 
+    # ---- secondary: long-pair strip kernel (capability the reference
+    # lacks entirely: it caps at MAX_LINE_LENGTH 10000) ----
+    try:
+        from genomax.kernels.sw_long import sw_scores_long
+
+        rngl = np.random.default_rng(7)
+        s50 = rngl.choice(list(b"ATGC"), 50_000).astype(np.uint8).tobytes()
+        lpairs = [SWPair(sx=s50, sy=s50)]
+        got = sw_scores_long(lpairs)  # compile + run
+        t0 = time.time()
+        sw_scores_long(lpairs)
+        dtl = time.time() - t0
+        lc = 128 * 50_000 * 50_000
+        log(f"SW long 128x50kbpx50kbp: {dtl:.2f} s = {lc/dtl/1e9:.0f} G "
+            f"lane-cells/s, identical-pair score {got[0]}/50000 "
+            f"(reference caps at 10kbp)")
+    except Exception as e:
+        log(f"SW long secondary failed: {e!r}")
+
     print(json.dumps({
         "metric": "SW affine-gap GCUPS, 25k x 512bp alignments (ref headline)",
         "value": round(gcups, 2),
