@@ -87,3 +87,24 @@ def test_cli_pairhmm_resume_ignores_other_input_manifest(tmp_path, phmm_file):
     # manifest for a different input must be ignored: fresh full output
     vals = np.loadtxt(res)
     assert len(vals) == 16
+
+
+def test_cli_generate_roundtrip(tmp_path):
+    """generate -> sw pipeline: seeded, parameterized (the reference's
+    committed generator.py ignores its CLI args, hiprun.sh:20)."""
+    from genomax.io.formats import parse_sw_file
+
+    p = str(tmp_path / "gen.txt")
+    rc = main(["generate", p, "--num", "10", "--min-len", "30",
+               "--max-len", "40", "--seed", "7"])
+    assert rc == 0
+    pairs = parse_sw_file(p)
+    assert len(pairs) == 10
+    # the '\n' quirk: generated sequences carry the trailing newline
+    assert all(pr.sx.endswith(b"\n") and pr.sy.endswith(b"\n") for pr in pairs)
+    assert all(31 <= len(pr.sx) <= 41 for pr in pairs)
+    # determinism
+    p2 = str(tmp_path / "gen2.txt")
+    main(["generate", p2, "--num", "10", "--min-len", "30",
+          "--max-len", "40", "--seed", "7"])
+    assert open(p).read() == open(p2).read()
