@@ -76,7 +76,13 @@ def parse_sw_file(path: str) -> list[SWPair]:
         lines = _sw_lines(f.read())
     if not lines:
         raise ValueError("empty SW input file")
-    line_num = int(lines[0])
+    try:
+        line_num = int(lines[0])
+    except ValueError:
+        raise ValueError(
+            f"SW input must start with a sequence count line, got "
+            f"{lines[0][:40]!r}"
+        ) from None
     pairs = []
     li = 1
     i = 0
@@ -119,7 +125,18 @@ def parse_pairhmm_file(path: str) -> list[PairHMMBatch]:
         if not header:
             continue
         parts = header.split()
-        num_read, num_hap = int(parts[0]), int(parts[1])
+        try:
+            num_read, num_hap = int(parts[0]), int(parts[1])
+        except (ValueError, IndexError):
+            raise ValueError(
+                f"batch {len(batches)}: expected 'num_reads num_haplotypes' "
+                f"header, got {header[:40]!r}"
+            ) from None
+        if li + num_read + num_hap > len(lines):
+            raise ValueError(
+                f"batch {len(batches)}: header promises {num_read} reads + "
+                f"{num_hap} haplotypes but the file ends early"
+            )
         reads = []
         for _ in range(num_read):
             line = lines[li].rstrip(b"\r")
@@ -128,6 +145,11 @@ def parse_pairhmm_file(path: str) -> list[PairHMMBatch]:
             # (pairHMMmatrix.c:213-214); fields split on whitespace like
             # sscanf %s (pairHMMmatrix.c:22).
             fields = line.split()
+            if len(fields) != 5:
+                raise ValueError(
+                    f"batch {len(batches)}: read line has {len(fields)} "
+                    f"fields, want 5 (bases baseQ insQ delQ gcpQ)"
+                )
             reads.append(
                 PairHMMRead(
                     bases=fields[0],

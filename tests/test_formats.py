@@ -66,3 +66,29 @@ def test_phred_decode():
     # Q = 10^(-(c-33)/10), pairHMMmatrix.c:20-30
     q = phred_to_error_prob(np.frombuffer(b"!+I", np.uint8))
     np.testing.assert_allclose(q, [1.0, 10**-1.0, 10**-4.0], rtol=1e-12)
+
+
+def test_malformed_inputs_raise_clean_errors(tmp_path):
+    import pytest
+
+    from genomax.io.formats import parse_pairhmm_file, parse_sw_file
+
+    p = tmp_path / "bad1.txt"
+    p.write_text("not-a-number\nACGT\nACGT\n")
+    with pytest.raises(ValueError, match="sequence count"):
+        parse_sw_file(str(p))
+
+    p = tmp_path / "bad2.txt"
+    p.write_text("2 1\nACG III III III III\n")  # promises 2 reads, has 1
+    with pytest.raises(ValueError, match="ends early"):
+        parse_pairhmm_file(str(p))
+
+    p = tmp_path / "bad3.txt"
+    p.write_text("1 1\nACG III III\nACGT\n")  # 3 fields, want 5
+    with pytest.raises(ValueError, match="5"):
+        parse_pairhmm_file(str(p))
+
+    p = tmp_path / "bad4.txt"
+    p.write_text("x y\nACG III III III III\nACGT\n")
+    with pytest.raises(ValueError, match="header"):
+        parse_pairhmm_file(str(p))
