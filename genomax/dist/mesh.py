@@ -51,3 +51,20 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
             )
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (DATA_AXIS,))
+
+
+def shard_map_compat(f, mesh, in_specs, out_specs):
+    """shard_map across jax versions: jax>=0.8 exposes jax.shard_map
+    (check_vma), older versions jax.experimental.shard_map (check_rep).
+    Replication checking is disabled either way (the per-shard kernels
+    return identical all-gathered results by construction)."""
+    try:
+        from jax import shard_map as _sm
+
+        return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_vma=False)
+    except (ImportError, TypeError):  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map as _sm
+
+        return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_rep=False)

@@ -19,10 +19,10 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
 
 from genomax.config import SWConfig
-from genomax.dist.mesh import DATA_AXIS
+from genomax.dist.mesh import DATA_AXIS, shard_map_compat
 from genomax.engine.executor import flatten_tiles
 
 
@@ -80,12 +80,8 @@ def sw_forward_sharded(
         return jax.lax.all_gather(local, DATA_AXIS, tiled=True)
 
     spec = P(DATA_AXIS)
-    return shard_map(
-        shard_fn,
-        mesh=mesh,
-        in_specs=(spec, spec, spec, spec, spec),
-        out_specs=P(),
-        check_rep=False,
+    return shard_map_compat(
+        shard_fn, mesh, (spec, spec, spec, spec, spec), P()
     )(sx, sy, nx, ny, ndiag_tile)
 
 
@@ -149,10 +145,6 @@ def pairhmm_forward_sharded(
         return jax.lax.all_gather(local, DATA_AXIS, tiled=True)
 
     spec = P(DATA_AXIS)
-    return shard_map(
-        shard_fn,
-        mesh=mesh,
-        in_specs=(spec,) * 12,
-        out_specs=P(),
-        check_rep=False,
+    return shard_map_compat(
+        shard_fn, mesh, (spec,) * 12, P()
     )(rchar, qr, mmv, gapm, qi, qd, qg, hap, meta, rl, hl, ndiag_tile)

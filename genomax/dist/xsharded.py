@@ -40,7 +40,7 @@ import jax
 import numpy as np
 
 from genomax.config import SWConfig
-from genomax.dist.mesh import DATA_AXIS
+from genomax.dist.mesh import DATA_AXIS, shard_map_compat
 from genomax.pack.bucketing import (
     LANES,
     PAD_STREAM,
@@ -113,7 +113,7 @@ def sw_forward_xsharded(
 ):
     """Returns (128,) int32 scores for one tile of huge pairs."""
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
+    
     from jax.sharding import PartitionSpec as P
 
     k_devices = mesh.devices.size
@@ -178,10 +178,6 @@ def sw_forward_xsharded(
         local = jnp.max(st[5], axis=0)
         return jax.lax.pmax(local, DATA_AXIS)
 
-    return shard_map(
-        shard_fn,
-        mesh=mesh,
-        in_specs=(P(DATA_AXIS), P()),
-        out_specs=P(),
-        check_rep=False,
+    return shard_map_compat(
+        shard_fn, mesh, (P(DATA_AXIS), P()), P()
     )(sx, sy)
