@@ -45,8 +45,14 @@ def main():
     # environment adds ~26 ms fixed cost per dispatch that a local
     # runtime does not have; the reference's 110.10 ms is equally
     # launch-overhead-free kernel-only timing, hipvers.cpp:475-483) ----
+    # GENOMAX_BENCH_TINY=1 shrinks everything so CI can execute the full
+    # driver contract (incl. the JSON line) on CPU in seconds.
+    tiny = bool(os.environ.get("GENOMAX_BENCH_TINY"))
+    import jax
+
+    interp = tiny and jax.default_backend() != "tpu"
     rng = np.random.default_rng(0)
-    n, L, reps = 25000, 512, 4
+    n, L, reps = (128, 32, 1) if tiny else (25000, 512, 4)
     pairs = [
         SWPair(sx=random_dna(rng, L) + b"\n", sy=random_dna(rng, L) + b"\n")
         for _ in range(n * reps)
@@ -58,7 +64,7 @@ def main():
     args = [jnp.asarray(x) for x in (bucket.sx, bucket.sy, bucket.ndiag_tile)]
 
     t0 = time.time()
-    res = np.asarray(sw_forward_pallas(*args, unroll=unroll))
+    res = np.asarray(sw_forward_pallas(*args, unroll=unroll, interpret=interp))
     log(f"compile+first: {time.time()-t0:.1f}s")
     got = np.zeros(n * reps, np.int32)
     got[bucket.perm] = res.reshape(-1)[: bucket.n_valid]
@@ -66,9 +72,9 @@ def main():
     log(f"parity spot-check: {'OK' if ok else 'MISMATCH'}")
 
     best = float("inf")
-    for _ in range(4):
+    for _ in range(2 if tiny else 6):
         t0 = time.time()
-        np.asarray(sw_forward_pallas(*args, unroll=unroll))
+        np.asarray(sw_forward_pallas(*args, unroll=unroll, interpret=interp))
         best = min(best, (time.time() - t0) / reps)
     cells = n * (L + 1) ** 2
     gcups = cells / best / 1e9
@@ -83,7 +89,9 @@ def main():
 
         golden = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "tests", "golden")
-        eng = Engine(EngineConfig(backend="pallas"))
+        # tiny mode: the compiled lax twin (interpreting 3,550 pairs
+        # would dominate CI time); kernels are covered by the headline.
+        eng = Engine(EngineConfig(backend="lax" if tiny else "pallas"))
         batches = parse_pairhmm_file(os.path.join(golden, "10s.in"))
         v = eng.pairhmm(batches)  # compile + run
         t0 = time.time()
@@ -100,17 +108,20 @@ def main():
         from genomax.kernels.pairhmm_pallas import pairhmm_forward_pallas
         from genomax.pack.bucketing import pack_pairhmm_batches
 
-        big = generate_pairhmm_batch(8192, 8, read_len=151, hap_len=300, seed=0)
+        if tiny:
+            raise RuntimeError("skip production-scale point in tiny mode")
+        big = generate_pairhmm_batch(8192, 8, read_len=151, hap_len=300,
+                                     seed=0)
         bks, _ = pack_pairhmm_batches([big])
         b = bks[0]
         dev = tuple(jnp.asarray(x) for x in (b.rchar, b.qr, b.mmv, b.gapm,
                                              b.qi, b.qd, b.qg, b.hap, b.meta,
                                              b.ndiag_tile))
-        np.asarray(pairhmm_forward_pallas(*dev))
+        np.asarray(pairhmm_forward_pallas(*dev, interpret=interp))
         bestp = float("inf")
         for _ in range(4):
             t0 = time.time()
-            np.asarray(pairhmm_forward_pallas(*dev))
+            np.asarray(pairhmm_forward_pallas(*dev, interpret=interp))
             bestp = min(bestp, time.time() - t0)
         pc = int((b.rl.astype(np.int64) * b.hl).sum())
         log(f"PairHMM 65536x151x300: {bestp*1e3:.0f} ms = {pc/bestp/1e9:.2f} "
@@ -124,15 +135,16 @@ def main():
         from genomax.kernels.sw_long import sw_scores_long
 
         rngl = np.random.default_rng(7)
-        s50 = rngl.choice(list(b"ATGC"), 50_000).astype(np.uint8).tobytes()
+        longn = 150 if tiny else 50_000
+        s50 = rngl.choice(list(b"ATGC"), longn).astype(np.uint8).tobytes()
         lpairs = [SWPair(sx=s50, sy=s50)]
-        got = sw_scores_long(lpairs)  # compile + run
+        got = sw_scores_long(lpairs, interpret=interp)  # compile + run
         t0 = time.time()
-        sw_scores_long(lpairs)
+        sw_scores_long(lpairs, interpret=interp)
         dtl = time.time() - t0
-        lc = 128 * 50_000 * 50_000
-        log(f"SW long 128x50kbpx50kbp: {dtl:.2f} s = {lc/dtl/1e9:.0f} G "
-            f"lane-cells/s, identical-pair score {got[0]}/50000 "
+        lc = 128 * longn * longn
+        log(f"SW long 128x{longn}x{longn}: {dtl:.2f} s = {lc/dtl/1e9:.0f} G "
+            f"lane-cells/s, identical-pair score {got[0]}/{longn} "
             f"(reference caps at 10kbp)")
     except Exception as e:
         log(f"SW long secondary failed: {e!r}")

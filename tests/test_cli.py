@@ -108,3 +108,24 @@ def test_cli_generate_roundtrip(tmp_path):
     main(["generate", p2, "--num", "10", "--min-len", "30",
           "--max-len", "40", "--seed", "7"])
     assert open(p).read() == open(p2).read()
+
+
+def test_bench_driver_contract_tiny(capsys):
+    """bench.py end-to-end in tiny mode: the driver contract is exactly
+    one JSON line on stdout with metric/value/unit/vs_baseline."""
+    import importlib
+    import os
+
+    os.environ["GENOMAX_BENCH_TINY"] = "1"
+    try:
+        import bench
+
+        importlib.reload(bench)
+        bench.main()
+    finally:
+        del os.environ["GENOMAX_BENCH_TINY"]
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1, out
+    rec = json.loads(out[0])
+    assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
+    assert rec["value"] > 0
