@@ -81,7 +81,13 @@ class EngineConfig:
     # PairHMM results below this log10 threshold (or non-finite) are
     # recomputed through the native fp64 golden model — the fp32 TPU fast
     # path covers the overwhelmingly common case, exactly like GATK/GKL's
-    # fp32 AVX path with fp64 fallback. None disables the fallback.
+    # fp32 AVX path with fp64 fallback. Measured on v5e: the fp32 path is
+    # <=1e-4-accurate above ~-50 log10 and degrades sharply below (up to
+    # ~9 log10 units by -200: the frozen-scale accumulator loses spread
+    # mass), so -45 is load-bearing, not conservative. Real variant-
+    # calling pairs sit far above it (10s.in: 24/3550 fallbacks); fully
+    # random read x hap pairs mostly fall below and run exact fp64.
+    # None disables the fallback.
     phmm_fallback_threshold: float | None = -45.0
     # Oversized-job offload: pairs whose padded sublane extent would
     # overflow VMEM (~16 MB/core) run through the native C++ exact model
