@@ -405,6 +405,13 @@ def phmm_rescale(state, d, c: PhmmConsts):
     alive = jnp.asarray(d, jnp.int32) <= rl + hl + 1
     need = alive & (peak > 0.0) & (peak < PHMM_RESCALE_TRIGGER)
     f = jnp.where(need, PHMM_RESCALE_FACTOR, 1.0)
+    # Depth limit (measured): the single shared scale keeps the WINDOW
+    # PEAK afloat, so cells >~50 orders below the running peak flush to
+    # zero in the buffers themselves — results below ~-50 log10 lose
+    # mass regardless of accumulator scheme (a two-way-normalized
+    # floating accumulator was tried and changed nothing). That is why
+    # the engine's fp64 fallback threshold (-45) is load-bearing; it
+    # mirrors GKL's fp32-with-fp64-fallback production design.
     # The accumulator follows the buffer scale only while small.
     asum = jnp.max(acc, axis=0, keepdims=True)
     follow = need & (asum < PHMM_RESCALE_TRIGGER)
