@@ -47,7 +47,7 @@ def main():
     # launch-overhead-free kernel-only timing, hipvers.cpp:475-483) ----
     # GENOMAX_BENCH_TINY=1 shrinks everything so CI can execute the full
     # driver contract (incl. the JSON line) on CPU in seconds.
-    tiny = bool(os.environ.get("GENOMAX_BENCH_TINY"))
+    tiny = os.environ.get("GENOMAX_BENCH_TINY", "").lower() not in ("", "0", "false", "no")
     import jax
 
     interp = tiny and jax.default_backend() != "tpu"

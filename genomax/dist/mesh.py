@@ -57,14 +57,17 @@ def shard_map_compat(f, mesh, in_specs, out_specs):
     """shard_map across jax versions: jax>=0.8 exposes jax.shard_map
     (check_vma), older versions jax.experimental.shard_map (check_rep).
     Replication checking is disabled either way (the per-shard kernels
-    return identical all-gathered results by construction)."""
+    return identical all-gathered results by construction). Feature-
+    probed by signature so genuine TypeErrors from the call surface."""
+    import inspect
+
     try:
         from jax import shard_map as _sm
-
-        return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-                   check_vma=False)
-    except (ImportError, TypeError):  # pragma: no cover - older jax
+    except ImportError:  # pragma: no cover - older jax
         from jax.experimental.shard_map import shard_map as _sm
-
-        return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-                   check_rep=False)
+    kw = (
+        {"check_vma": False}
+        if "check_vma" in inspect.signature(_sm).parameters
+        else {"check_rep": False}
+    )
+    return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, **kw)

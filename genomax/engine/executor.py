@@ -235,15 +235,25 @@ class Engine:
         if off is not None:
             idx = np.nonzero(off)[0]
             long_pairs = [pairs[i] for i in idx]
-            if self.backend == "pallas":
-                # strip-mined on-device kernel: arbitrary lengths at TPU
-                # speed (the reference caps at 10kbp on the CPU)
+            done = False
+            # Strip-mined on-device kernel: long pairs at TPU speed (the
+            # reference caps at 10kbp on the CPU). Chromosome-scale pairs
+            # whose buffers would blow HBM — or any device failure — fall
+            # back to the exact native model instead of aborting.
+            if self.backend == "pallas" and all(
+                len(p.sx) + len(p.sy) <= self.cfg.max_device_diags
+                for p in long_pairs
+            ):
                 from genomax.kernels.sw_long import sw_scores_long
 
-                out[idx] = sw_scores_long(
-                    long_pairs, self.sw_cfg, interpret=self.interpret
-                )
-            else:
+                try:
+                    out[idx] = sw_scores_long(
+                        long_pairs, self.sw_cfg, interpret=self.interpret
+                    )
+                    done = True
+                except Exception:
+                    done = False
+            if not done:
                 from genomax import native
 
                 out[idx] = native.sw_scores_native(long_pairs, self.sw_cfg)

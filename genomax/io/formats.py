@@ -78,6 +78,8 @@ def parse_sw_file(path: str) -> list[SWPair]:
         raise ValueError("empty SW input file")
     try:
         line_num = int(lines[0])
+        if line_num < 0:
+            raise ValueError
     except ValueError:
         raise ValueError(
             f"SW input must start with a sequence count line, got "
@@ -127,6 +129,8 @@ def parse_pairhmm_file(path: str) -> list[PairHMMBatch]:
         parts = header.split()
         try:
             num_read, num_hap = int(parts[0]), int(parts[1])
+            if num_read < 0 or num_hap < 0:
+                raise ValueError
         except (ValueError, IndexError):
             raise ValueError(
                 f"batch {len(batches)}: expected 'num_reads num_haplotypes' "

@@ -49,6 +49,23 @@ CHUNK = 256  # diagonals per slab DMA (stream + halo granularity)
 STRIP_W = 512  # default strip width (sublanes of state per sweep)
 
 
+def _layout(ny_max: int, w: int):
+    """The ONE place the sweep/anchor geometry is computed (pack and
+    kernel both call it, so they cannot desynchronize). ny_max is
+    CHUNK-quantized first, bounding the number of distinct compiled
+    kernel shapes like the bucketing ladder does elsewhere.
+
+    Per strip k the kernel sweeps loop diagonals
+    [floor(kW/C)*C, + sweep*C); anchor >= sweep*C keeps the lowest
+    stream-window row >= 0, and ndt covers the highest
+    (anchor + (kW - c0*C) + W + C <= anchor + W + 2C)."""
+    ny_q = _round_up(max(ny_max, 1), CHUNK)
+    sweep = -(-(ny_q + 2 * w + 2 * CHUNK) // CHUNK)
+    anchor = _round_up(sweep * CHUNK + CHUNK, SUB_Q)
+    ndt = _round_up(anchor + w + 2 * CHUNK, SUB_Q)
+    return sweep, anchor, ndt
+
+
 @dataclasses.dataclass
 class SWLongPacked:
     """One tile of up to 128 long pairs, x in K strips of W.
@@ -76,14 +93,10 @@ def pack_sw_long(pairs, strip_w: int = STRIP_W) -> SWLongPacked:
     w = _round_up(strip_w, SUB_Q)
     k = max(1, -(-(max(len(p.sx) for p in pairs) + 2) // w))
     nd = max(len(p.sx) + len(p.sy) + 1 for p in pairs)
-    ny_max = max(len(p.sy) for p in pairs) + 1
-    # anchor covers every window row: strip k sweeps loop diagonals
-    # [floor(kW/C)*C, + sweep*C); max row read = A + kW - c0*C + W + C
-    # <= A + W + 2C, min row = A + kW - (c0 + sweep)*C >= 0 given
-    # A >= sweep*C (c0*C <= kW).
-    sweep = -(-(ny_max + 2 * w + 2 * CHUNK) // CHUNK)
-    anchor = _round_up(sweep * CHUNK + CHUNK, SUB_Q)
-    ndt = _round_up(anchor + w + 2 * CHUNK, SUB_Q)
+    # CHUNK-quantized BEFORE it becomes the kernel's static arg, so the
+    # jit cache keys on the quantized value (bounded compile count).
+    ny_max = _round_up(max(len(p.sy) for p in pairs) + 1, CHUNK)
+    sweep, anchor, ndt = _layout(ny_max, w)
 
     sx = np.full((k * w, LANES), PAD_X, np.int8)
     sy = np.full((ndt, LANES), PAD_STREAM, np.int8)
@@ -100,7 +113,7 @@ def pack_sw_long(pairs, strip_w: int = STRIP_W) -> SWLongPacked:
     )
 
 
-def _kernel(nd_ref, sx_hbm, sy_hbm, hd0, hq0, out_ref, hd_hbm, hq_hbm,
+def _kernel(sx_hbm, sy_hbm, hd0, hq0, out_ref, hd_hbm, hq_hbm,
             zscr, sxv, slab, hin, hout, sems, *, cfg: SWConfig, k_strips: int,
             w: int, anchor: int, sweep_chunks: int, unroll: int):
     del hd0, hq0  # aliased to hd_hbm/hq_hbm (zero-initialized by caller)
@@ -210,8 +223,8 @@ def _kernel(nd_ref, sx_hbm, sy_hbm, hd0, hq0, out_ref, hd_hbm, hq_hbm,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k_strips", "strip_w", "n_diags", "ny_max", "cfg",
-                     "unroll", "interpret"),
+    static_argnames=("k_strips", "strip_w", "ny_max", "cfg", "unroll",
+                     "interpret"),
 )
 def sw_forward_pallas_long(
     sx: jax.Array,  # (K*W, 128) int8/int32
@@ -219,23 +232,22 @@ def sw_forward_pallas_long(
     *,
     k_strips: int,
     strip_w: int,
-    n_diags: int,
     ny_max: int,
     cfg: SWConfig = SWConfig(),
     unroll: int = 32,
     interpret: bool = False,
 ) -> jax.Array:
-    """Returns (128,) int32 scores for one tile of long pairs."""
+    """Returns (128,) int32 scores for one tile of long pairs. The
+    sweep/anchor geometry derives from _layout (shared with the pack),
+    and ny_max is CHUNK-quantized inside it, so distinct compiled shapes
+    are bounded rather than one-per-length."""
     if CHUNK % unroll or unroll > 32:
         raise ValueError(f"unroll must divide {CHUNK} and be <= 32")
     sx = sx.astype(jnp.int32)
     sy = sy.astype(jnp.int32)
     w = strip_w
-    nds = None
-    del nds
-    sweep_chunks = -(-(ny_max + 2 * w + 2 * CHUNK) // CHUNK)
-    # MUST equal the pack's anchor (same formula from the same ny_max).
-    anchor = _round_up(sweep_chunks * CHUNK + CHUNK, SUB_Q)
+    sweep_chunks, anchor, ndt = _layout(ny_max, w)
+    assert sy.shape[0] == ndt, (sy.shape, ndt)
     nhalo = -(-((k_strips - 1) * w + (sweep_chunks + 1) * CHUNK) // CHUNK) * CHUNK
 
     f = pl.pallas_call(
@@ -244,7 +256,7 @@ def sw_forward_pallas_long(
             sweep_chunks=sweep_chunks, unroll=unroll,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=0,
             grid=(1,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
@@ -253,7 +265,7 @@ def sw_forward_pallas_long(
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=[
-                pl.BlockSpec((8, LANES), lambda t, nd: (0, 0),
+                pl.BlockSpec((8, LANES), lambda t: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
@@ -275,11 +287,11 @@ def sw_forward_pallas_long(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
-        input_output_aliases={3: 1, 4: 2},
+        input_output_aliases={2: 1, 3: 2},
         interpret=interpret,
     )
     zh = jnp.zeros((nhalo, LANES), jnp.int32)
-    out, _, _ = f(jnp.full((1,), n_diags, jnp.int32), sx, sy, zh, zh)
+    out, _, _ = f(sx, sy, zh, zh)
     return out[0]
 
 
@@ -296,7 +308,6 @@ def sw_scores_long(pairs, cfg: SWConfig = SWConfig(), strip_w: int = STRIP_W,
                 jnp.asarray(b.sy),
                 k_strips=b.n_strips,
                 strip_w=b.strip_w,
-                n_diags=b.n_diags,
                 ny_max=b.ny_max,
                 cfg=cfg,
                 interpret=interpret,
