@@ -130,7 +130,7 @@ def main():
         log(f"PairHMM secondary failed: {e!r}")
 
     # ---- secondary: long-pair strip kernel (capability the reference
-    # lacks entirely: it caps at MAX_LINE_LENGTH 10000) ----
+    # lacks entirely: it caps at MAX_LINE_LENGTH 1000) ----
     try:
         from genomax.kernels.sw_long import sw_scores_long
 
@@ -145,7 +145,7 @@ def main():
         lc = 128 * longn * longn
         log(f"SW long 128x{longn}x{longn}: {dtl:.2f} s = {lc/dtl/1e9:.0f} G "
             f"lane-cells/s, identical-pair score {got[0]}/{longn} "
-            f"(reference caps at 10kbp)")
+            f"(reference caps at 1kbp)")
     except Exception as e:
         log(f"SW long secondary failed: {e!r}")
 

@@ -90,9 +90,12 @@ class EngineConfig:
     # None disables the fallback.
     phmm_fallback_threshold: float | None = -45.0
     # Oversized-job offload: pairs whose padded sublane extent would
-    # overflow VMEM (~16 MB/core) run through the native C++ exact model
-    # instead (the reference handles up to MAX_LINE_LENGTH 10000 on the
-    # CPU; so do we). PairHMM applies half these bounds (it carries ~2x
+    # overflow VMEM (~16 MB/core) leave the main lane-tile kernels —
+    # long SW pairs go to the strip-mined on-device kernel (sw_long),
+    # the rest to the native C++ exact model (the reference caps at
+    # MAX_LINE_LENGTH / MAX_READ_LEN 1000,
+    # antidiagonalSmithWaterman.c:44 / pairHMMmatrix.c:8).
+    # PairHMM applies half these bounds (it carries ~2x
     # the per-position state). Measured on v5e: the streamed SW kernel
     # compiles at x=1024 and fails by 1400; PairHMM at read=512 and
     # fails by 640 — hence the 1024 default. The diagonal count is

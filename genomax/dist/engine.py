@@ -22,7 +22,7 @@ import numpy as np
 
 from genomax.config import EngineConfig, PairHMMConfig, SWConfig
 from genomax.dist.mesh import DATA_AXIS
-from genomax.engine.executor import Engine, RunStats
+from genomax.engine.executor import Engine, RunStats, _run_buckets
 from genomax.pack.bucketing import (
     pack_pairhmm_batches,
     pack_sw_pairs,
@@ -71,8 +71,17 @@ class ShardedEngine:
             arr.shape, sharding, lambda idx: arr[idx]
         )
 
-    # Oversized-pair offload, same policy as the single-chip engine.
+    # Feature parity with the single-chip Engine (VERDICT r1 #1): the
+    # same offload masks, the same long-pair / native post-passes, the
+    # same fp64 deep-negative fallback — every execution path must
+    # return one consistent answer per input (pairHMMmatrix.c:41-66).
+    # Packing is replicated per host, so the native recomputes are
+    # deterministic across hosts.
     _sw_offload_mask = Engine._sw_offload_mask
+    _sw_offload_post = Engine._sw_offload_post
+    _phmm_offload_mask = Engine._phmm_offload_mask
+    _phmm_native_subset = Engine._phmm_native_subset
+    _phmm_fallback = Engine._phmm_fallback
 
     def sw_scores(self, pairs) -> np.ndarray:
         from genomax.dist.sharded import sw_forward_sharded
@@ -89,8 +98,9 @@ class ShardedEngine:
         stats.pack_s = time.perf_counter() - t0
         stats.buckets = len(buckets)
         t0 = time.perf_counter()
-        pending = [
-            sw_forward_sharded(
+
+        def dispatch(b):
+            return sw_forward_sharded(
                 self._put(b.sx),
                 self._put(b.sy),
                 self._put(b.nx.reshape(-1, 128)).reshape(-1),
@@ -104,19 +114,11 @@ class ShardedEngine:
                 interpret=self.interpret,
                 stream_vmem_rows=self.cfg.stream_vmem_rows,
             )
-            for b in buckets
-        ]
-        results = [np.asarray(r) for r in pending]
+
+        results = _run_buckets("sw-sharded", buckets, dispatch)
         stats.exec_s = time.perf_counter() - t0
         out = unpack_scores(buckets, results, len(pairs), np.int32)
-        if off is not None:
-            from genomax import native
-
-            idx = np.nonzero(off)[0]
-            out[idx] = native.sw_scores_native(
-                [pairs[i] for i in idx], self.sw_cfg
-            )
-            stats.offloaded_jobs = len(idx)
+        self._sw_offload_post(pairs, out, off, stats)
         self.last_stats = stats
         return out
 
@@ -124,17 +126,21 @@ class ShardedEngine:
         from genomax.dist.sharded import pairhmm_forward_sharded
 
         stats = RunStats()
+        off = self._phmm_offload_mask(batches)
         t0 = time.perf_counter()
         buckets, n = pack_pairhmm_batches(
-            batches, self.phmm_cfg.phred_offset
+            batches,
+            self.phmm_cfg.phred_offset,
+            job_mask=None if off is None else ~off,
         )
         buckets = [pad_tiles_to(b, self.n_devices) for b in buckets]
         stats.pack_s = time.perf_counter() - t0
         stats.n_jobs = n
         stats.buckets = len(buckets)
         t0 = time.perf_counter()
-        pending = [
-            pairhmm_forward_sharded(
+
+        def dispatch(b):
+            return pairhmm_forward_sharded(
                 self._put(b.rchar),
                 self._put(b.qr),
                 self._put(b.mmv),
@@ -155,9 +161,13 @@ class ShardedEngine:
                 interpret=self.interpret,
                 stream_vmem_rows=self.cfg.stream_vmem_rows,
             )
-            for b in buckets
-        ]
-        results = [np.asarray(r) for r in pending]
+
+        results = _run_buckets("pairhmm-sharded", buckets, dispatch)
         stats.exec_s = time.perf_counter() - t0
+        out = unpack_scores(buckets, results, n, np.float32)
+        if off is not None:
+            out = self._phmm_native_subset(batches, out, np.nonzero(off)[0])
+            stats.offloaded_jobs = int(off.sum())
+        out = self._phmm_fallback(batches, out, stats, skip=off)
         self.last_stats = stats
-        return unpack_scores(buckets, results, n, np.float32)
+        return out

@@ -67,6 +67,7 @@ class SWXPacked:
     strip_w: int
     n_diags: int
     unroll: int
+    anchor: int
     nx: np.ndarray
     ny: np.ndarray
     n_valid: int
@@ -94,12 +95,13 @@ def pack_sw_xsharded(pairs, n_devices: int, unroll: int = 16) -> SWXPacked:
         ny[l] = len(p.sy) + 1
     return SWXPacked(
         sx=sx, sy=sy, n_devices=n_devices, strip_w=w, n_diags=nd,
-        unroll=unroll, nx=nx, ny=ny, n_valid=len(pairs),
+        unroll=unroll, anchor=anchor, nx=nx, ny=ny, n_valid=len(pairs),
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mesh", "strip_w", "n_diags", "unroll", "cfg")
+    jax.jit,
+    static_argnames=("mesh", "strip_w", "n_diags", "unroll", "anchor", "cfg"),
 )
 def sw_forward_xsharded(
     sx,  # (K*W, 128) int8/int32, sharded along sublanes
@@ -109,12 +111,21 @@ def sw_forward_xsharded(
     strip_w: int,
     n_diags: int,
     unroll: int = 16,
+    anchor: int | None = None,  # the pack's stream anchor (SWXPacked.anchor)
     cfg: SWConfig = SWConfig(),
 ):
-    """Returns (128,) int32 scores for one tile of huge pairs."""
+    """Returns (128,) int32 scores for one tile of huge pairs.
+
+    ``anchor`` must be the pack's stream anchor (SWXPacked.anchor): a
+    reconstruction from the buffer shape is wrong whenever the pack's
+    final SUB_Q round-up of ndt moved (ADVICE r1 — unroll 1/2/4 with
+    some device counts silently misreads the stream)."""
     import jax.numpy as jnp
-    
+
     from jax.sharding import PartitionSpec as P
+
+    if anchor is None:
+        raise ValueError("pass anchor=SWXPacked.anchor (see docstring)")
 
     k_devices = mesh.devices.size
     w, U = strip_w, unroll
@@ -127,7 +138,7 @@ def sw_forward_xsharded(
         sxb = sx_s.astype(jnp.int32)
         syb = sy_s.astype(jnp.int32)
         nds = syb.shape[0]
-        a_base = nds - (k_devices - 1) * (w + U) - w  # >= the pack anchor
+        a_base = anchor
         subm = (sxb - sxb) + cfg.match
         subx = (sxb - sxb) + cfg.mismatch
         row0 = jax.lax.broadcasted_iota(jnp.int32, (w, LANES), 0) == 0

@@ -38,11 +38,32 @@ class EngineError(RuntimeError):
         self.cause = cause
 
 
+def _purge_compilation_cache():
+    """Recovery for stale persistent-cache executables: after a TPU
+    runtime restart (observed across sessions under the axon tunnel),
+    every serialized executable from the previous runtime fails to load
+    with FAILED_PRECONDITION at dispatch. Drop the on-disk cache and the
+    in-process jit caches so the retry recompiles from source and
+    repopulates good entries. Best-effort: any failure here just leaves
+    the retry to surface the original error."""
+    import shutil
+
+    try:
+        import jax
+
+        path = jax.config.jax_compilation_cache_dir
+        if path:
+            shutil.rmtree(path, ignore_errors=True)
+        jax.clear_caches()
+    except Exception:
+        pass
+
+
 def _run_buckets(stage, buckets, dispatch):
     """Dispatch all buckets async, fence each; one retry per bucket on
     transient errors (trace/compile failures raise at dispatch, device
-    failures at the fence — both are covered), then a structured
-    EngineError."""
+    failures at the fence — both get the one-retry policy, with a
+    compilation-cache purge in between), then a structured EngineError."""
 
     def _shape(b):
         a = getattr(b, "sx", None)
@@ -54,13 +75,18 @@ def _run_buckets(stage, buckets, dispatch):
     for i, b in enumerate(buckets):
         try:
             pending.append((i, b, dispatch(b)))
-        except Exception as e:
-            raise EngineError(stage, i, _shape(b), e) from e
+        except Exception:
+            _purge_compilation_cache()
+            try:
+                pending.append((i, b, dispatch(b)))  # one retry
+            except Exception as e:
+                raise EngineError(stage, i, _shape(b), e) from e
     results = []
     for i, b, r in pending:
         try:
             results.append(np.asarray(r))
         except Exception:
+            _purge_compilation_cache()
             try:
                 results.append(np.asarray(dispatch(b)))  # one retry
             except Exception as e:
@@ -232,34 +258,53 @@ class Engine:
         results = _run_buckets("sw", buckets, self._sw_bucket)
         stats.exec_s = time.perf_counter() - t0
         out = unpack_scores(buckets, results, len(pairs), np.int32)
-        if off is not None:
-            idx = np.nonzero(off)[0]
-            long_pairs = [pairs[i] for i in idx]
-            done = False
-            # Strip-mined on-device kernel: long pairs at TPU speed (the
-            # reference caps at 10kbp on the CPU). Chromosome-scale pairs
-            # whose buffers would blow HBM — or any device failure — fall
-            # back to the exact native model instead of aborting.
-            if self.backend == "pallas" and all(
-                len(p.sx) + len(p.sy) <= self.cfg.max_device_diags
-                for p in long_pairs
-            ):
-                from genomax.kernels.sw_long import sw_scores_long
-
-                try:
-                    out[idx] = sw_scores_long(
-                        long_pairs, self.sw_cfg, interpret=self.interpret
-                    )
-                    done = True
-                except Exception:
-                    done = False
-            if not done:
-                from genomax import native
-
-                out[idx] = native.sw_scores_native(long_pairs, self.sw_cfg)
-            stats.offloaded_jobs = len(idx)
+        self._sw_offload_post(pairs, out, off, stats)
         self.last_stats = stats
         return out
+
+    def _sw_offload_post(self, pairs, out, off, stats):
+        """Score the offloaded (too-big-for-the-main-kernels) pairs.
+
+        Strip-mined on-device kernel first: long pairs at TPU speed (the
+        reference caps at 1kbp on the CPU). The split is PER PAIR: only
+        chromosome-scale pairs whose buffers would blow HBM — or pairs
+        whose device attempt failed — fall back to the exact native
+        model (ADVICE r1: all-or-nothing routing sent every long pair to
+        the slow CPU path when one was huge). Shared by Engine and
+        ShardedEngine so every execution path returns one consistent
+        answer per input (pairHMM/pairHMMmatrix.c:41-66 contract)."""
+        if off is None:
+            return
+        idx = np.nonzero(off)[0]
+        nidx = idx
+        if self.backend == "pallas":
+            dev_ok = np.array(
+                [
+                    len(pairs[i].sx) + len(pairs[i].sy)
+                    <= self.cfg.max_device_diags
+                    for i in idx
+                ]
+            )
+            if dev_ok.any():
+                from genomax.kernels.sw_long import sw_scores_long
+
+                didx = idx[dev_ok]
+                try:
+                    out[didx] = sw_scores_long(
+                        [pairs[i] for i in didx],
+                        self.sw_cfg,
+                        interpret=self.interpret,
+                    )
+                    nidx = idx[~dev_ok]
+                except Exception:
+                    nidx = idx  # device failure: whole set to native
+        if len(nidx):
+            from genomax import native
+
+            out[nidx] = native.sw_scores_native(
+                [pairs[i] for i in nidx], self.sw_cfg
+            )
+        stats.offloaded_jobs = len(idx)
 
     def sw_scores_file(self, path: str) -> np.ndarray:
         from genomax.io.formats import parse_sw_file
@@ -313,11 +358,8 @@ class Engine:
             rescale_period=self.cfg.rescale_period,
         )
 
-    def pairhmm(self, batches) -> np.ndarray:
-        """log10 likelihoods for all read×haplotype pairs across batches,
-        in reference output order (batches in file order, read-major
-        within batch)."""
-        stats = RunStats()
+    def _phmm_offload_mask(self, batches):
+        """True = too big for the device kernel (VMEM); run natively."""
         L, D = self.cfg.max_device_len // 2, self.cfg.max_device_diags // 2
         off = []
         for b in batches:
@@ -327,7 +369,14 @@ class Engine:
                         len(rd.bases) + 2 > L
                         or len(rd.bases) + len(hp) + 1 > D
                     )
-        off = np.array(off) if any(off) else None
+        return np.array(off) if any(off) else None
+
+    def pairhmm(self, batches) -> np.ndarray:
+        """log10 likelihoods for all read×haplotype pairs across batches,
+        in reference output order (batches in file order, read-major
+        within batch)."""
+        stats = RunStats()
+        off = self._phmm_offload_mask(batches)
         t0 = time.perf_counter()
         buckets, n = pack_pairhmm_batches(
             batches,

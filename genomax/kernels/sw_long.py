@@ -22,7 +22,7 @@ split into K strips of W sublanes, swept SEQUENTIALLY inside one kernel:
 
 Measured on v5e: a 50kbp x 50kbp tile (128 lanes) runs 2.35 s warm
 = 136 G lane-cells/s with exact native parity — the reference C caps at
-10kbp and ~0.05 GCUPS (MAX_LINE_LENGTH, antidiagonalSmithWaterman.c).
+1kbp and ~0.05 GCUPS (MAX_LINE_LENGTH 1000, antidiagonalSmithWaterman.c:44).
 """
 
 from __future__ import annotations

@@ -33,15 +33,37 @@ add (antidiagonalSmithWaterman.c:38,86-88). Here the boundary conditions
 are not even materialized: the packing's pad codes (x pads with 1, the
 stream with 2 — never equal to each other or to any real base / '\\n')
 guarantee every out-of-matrix cell mismatches, so D decays to 0, P/Q
-decay to small negatives, and one can prove (D >= 0 at every real cell,
-any pad-derived chain enters the real region at least gap_open below a
-real D-derived candidate and can never win a max) that the recurrences
-applied uniformly over the full (NXs, 128) tile — boundaries, pads,
-wrap-around lanes and all, with NO masking whatsoever — produce exactly
-the reference's scores. This removes ~8 ops from a ~13-op inner loop.
-The same argument covers the i==0 row, the j==0 column, sublane
-wrap-around under the roll, and lanes whose pair ended many diagonals
-ago. Differential tests vs the full-matrix oracle cover all of these.
+decay to small negatives, and the recurrences applied uniformly over the
+full (NXs, 128) tile — boundaries, pads, ragged lanes and all — produce
+exactly the reference's scores. This removes ~8 ops from a ~13-op inner
+loop. Differential tests vs the full-matrix oracle cover all of these.
+
+Sublane wrap-around needs one extra ingredient. The sublane roll is
+CIRCULAR, so without countermeasures the bottom row's D/Q wrap into
+row 0 and decay only a few mismatch penalties per diagonal — a pair
+whose y contains a second x-similar region ~NXs columns later (tandem
+repeats, short-read vs long-reference) would silently inflate. Rather
+than select-zeroing every rolled carry (2 extra VPU ops per step), the
+boundary rows are PINNED through the constant vectors that already ride
+the recurrence, at zero per-step cost:
+
+  * packing guarantees the bottom sublane row NXs-1 is a pad row for
+    every lane (pack rounds nx_max+2 up to the sublane quantum);
+  * ``ogev`` (the hoisted gap-open+extend added to max(P,Q) inside D)
+    carries -KILL at the bottom row, and ``subm``/``subx`` carry -KILL
+    there too, so D[NXs-1] = max(S-KILL, max(S'-KILL, 0)) = 0 exactly —
+    the roll then wraps a clean 0 into row 0 of the next D1s/D2s, which
+    IS the reference's first-column D boundary;
+  * ``gev`` (the gap-extend added to Q's carried copy) carries -KILL at
+    row 0, killing the wrapped Q: Q[0] = max(D1s[0]=0, S-KILL) = 0.
+
+By induction rows 0 and NXs-1 then hold exactly (D=0, Q'=0, P'<=0) —
+the reference's first-column boundary (:290-306) — every step, so the
+interior pad-decay proof applies as if the buffer were unbounded. KILL
+= 2**28 dominates any real score chain (scores are bounded by sequence
+length << 2**26) while keeping every int32 add far from wrapping, and
+the killed values never enter a carry (each is floored away by the same
+max that consumes it).
 
 PairHMM numerics: TPU has no fp64. The reference keeps magnitudes afloat
 with a DBL_MAX/16 initial constant (pairHMMmatrix.c:43-46). Here the
@@ -83,6 +105,9 @@ LANES = 128
 # Pad codes (see module docstring): x-axis pads with 1, stream with 2.
 PAD_X = 1
 PAD_STREAM = 2
+# Boundary-row kill constant (module docstring): dominates any real score
+# chain yet keeps int32 adds far from wrapping.
+KILL = 1 << 28
 
 
 def stream_window(buf, d, nxs):
@@ -130,11 +155,19 @@ def wavefront_sweep(nd, state, step_fn, unroll: int, block_fn=None):
 
 @dataclasses.dataclass(frozen=True)
 class SWConsts:
-    """Loop-invariant values, computed once per sweep."""
+    """Loop-invariant values, computed once per sweep.
+
+    subm/subx/gev/ogev are full (NXs, L) vectors: concrete layout (a
+    select with two scalar splat branches trips Mosaic relayout), and
+    their boundary rows carry the -KILL pins that neutralize the
+    circular sublane roll's wrap-around (module docstring) — a vector
+    add costs the same as the scalar-splat add it replaces."""
 
     sxb: Any  # (NXs, L) sublane-fixed codes (sublane p = sx[p-1])
-    subm: Any  # (NXs, L) match-score vector (concrete layout: a select
-    subx: Any  # with two scalar splat branches trips Mosaic relayout)
+    subm: Any  # (NXs, L) match-score vector, -KILL at the bottom row
+    subx: Any  # (NXs, L) mismatch vector, -KILL at the bottom row
+    gev: Any  # (NXs, L) gap_extend for Q's carry, -KILL at row 0
+    ogev: Any  # (NXs, L) gap_open+gap_extend for D, -KILL at bottom row
     window: Callable  # d -> (NXs, L) stream window (see stream_window)
     roll1: Callable
     cfg: SWConfig
@@ -142,8 +175,15 @@ class SWConsts:
 
 def sw_make_consts(sxb, window, roll1, cfg: SWConfig) -> SWConsts:
     zero = sxb - sxb
+    ii = jax.lax.broadcasted_iota(jnp.int32, sxb.shape, 0)
+    row0 = ii == 0
+    rowl = ii == sxb.shape[0] - 1
     return SWConsts(
-        sxb=sxb, subm=zero + cfg.match, subx=zero + cfg.mismatch,
+        sxb=sxb,
+        subm=jnp.where(rowl, -KILL, zero + cfg.match),
+        subx=jnp.where(rowl, -KILL, zero + cfg.mismatch),
+        gev=jnp.where(row0, -KILL, zero + cfg.gap_extend),
+        ogev=jnp.where(rowl, -KILL, zero + cfg.gap_open + cfg.gap_extend),
         window=window, roll1=roll1, cfg=cfg,
     )
 
@@ -163,20 +203,20 @@ def sw_make_state(z):
 def sw_step(d, state, c: SWConsts):
     """Compute anti-diagonal d of P/Q/D from diagonals d-1 and d-2
     (recurrences at antidiagonalSmithWaterman.c:309-335; boundaries
-    :290-306 arise from pad-code decay, see module docstring; the
-    gap-open+extend add is hoisted into D's max since P/Q are carried
-    in open-relative form: P' = P - (open+extend))."""
+    :290-306 arise from pad-code decay plus the -KILL boundary-row pins
+    riding gev/ogev/sub, see module docstring; the gap-open+extend add
+    is hoisted into D's max since P/Q are carried in open-relative
+    form: P' = P - (open+extend))."""
     P1, D1, D1s, Q1s, D2s, mx = state
     cfg = c.cfg
-    og_e = cfg.gap_open + cfg.gap_extend
 
     syw = c.window(d)
 
     Pn = jnp.maximum(D1, P1 + cfg.gap_extend)
-    Qn = jnp.maximum(D1s, Q1s + cfg.gap_extend)
+    Qn = jnp.maximum(D1s, Q1s + c.gev)
     sub = jnp.where(syw == c.sxb, c.subm, c.subx)
     Dn = jnp.maximum(
-        jnp.maximum(Pn, Qn) + og_e, jnp.maximum(D2s + sub, 0)
+        jnp.maximum(Pn, Qn) + c.ogev, jnp.maximum(D2s + sub, 0)
     )
     mx = jnp.maximum(mx, Dn)
     return (Pn, Dn, c.roll1(Dn), c.roll1(Qn), D1s, mx)
@@ -189,15 +229,14 @@ def sw_block(base, state, c: SWConsts, unroll: int):
     odd unroll is handled."""
     P1, D1, D1s, Q1s, D2s, mx = state
     cfg = c.cfg
-    og_e = cfg.gap_open + cfg.gap_extend
     prevD = None
     for t in range(unroll):
         syw = c.window(base + t)
         Pn = jnp.maximum(D1, P1 + cfg.gap_extend)
-        Qn = jnp.maximum(D1s, Q1s + cfg.gap_extend)
+        Qn = jnp.maximum(D1s, Q1s + c.gev)
         sub = jnp.where(syw == c.sxb, c.subm, c.subx)
         Dn = jnp.maximum(
-            jnp.maximum(Pn, Qn) + og_e, jnp.maximum(D2s + sub, 0)
+            jnp.maximum(Pn, Qn) + c.ogev, jnp.maximum(D2s + sub, 0)
         )
         if t % 2 == 1:
             mx = jnp.maximum(mx, jnp.maximum(prevD, Dn))
@@ -268,9 +307,15 @@ def phmm_make_consts(rchar, qr, mmv, gapm, qi, qd, qg, rl, hl, window,
     ii = jax.lax.broadcasted_iota(jnp.int32, (nxs, L), 0)
     row0 = ii == 0
     y0 = (2.0**PHMM_INIT_LOG2) / jnp.maximum(hl, 1).astype(jnp.float32)
+    # pm = 0 at row 0 and pad rows: with qi/qd/qg/mmv/gapm packed as 0
+    # there, every M/X/Y product chain is EXACTLY zero outside the live
+    # matrix — including values the circular sublane roll wraps from the
+    # bottom row into row 0, and 'N'-run haplotypes whose match-all
+    # emission would otherwise make pad rows transparent (p = 1-qr = 1).
+    dead = row0 | (ii > rl)
     return PhmmConsts(
         rchar=rchar,
-        pm=1.0 - qr,
+        pm=jnp.where(dead, 0.0, 1.0 - qr),
         qr=qr,
         mmv=mmv,
         gapm=gapm,

@@ -60,7 +60,7 @@ def test_fallback_exact_for_out_of_range_pairs():
 
 def test_oversized_pairs_offload_to_native():
     """Pairs too big for VMEM run through the native exact model — the
-    reference supports up to MAX_LINE_LENGTH 10000 sequences; so do we."""
+    reference supports up to MAX_LINE_LENGTH 1000 sequences; we go far beyond."""
     from genomax import native
     from genomax.io.formats import SWPair
 

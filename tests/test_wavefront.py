@@ -100,6 +100,66 @@ def test_pairhmm_deep_decay_rescale():
     np.testing.assert_allclose(got, want, atol=5e-3)
 
 
+def _tandem_pairs():
+    """Adversarial wrap-around workload (ADVICE r1, high): y contains a
+    second copy of x roughly NXs sublanes later, so the bottom row's
+    accumulated D/Q wrap into row 0 of the circular sublane roll exactly
+    when a fresh high-scoring region starts there. Without the
+    boundary-row pins these inflate (measured 193 vs 100 pre-fix)."""
+    rng = np.random.default_rng(42)
+    abc = np.frombuffer(b"ATGC", np.uint8)
+    out = []
+    for xlen, gap in [(100, 104), (100, 60), (100, 160), (37, 40),
+                      (250, 256), (250, 1000)]:
+        x = rng.choice(abc, xlen).tobytes()
+        junk = rng.choice(abc, gap).tobytes()
+        out.append(SWPair(sx=x, sy=x + junk + x))
+        # triple repeat: two wrap generations
+        out.append(SWPair(sx=x, sy=x + junk + x + junk + x))
+    return out
+
+
+def test_sw_tandem_repeat_wraparound(eng):
+    pairs = _tandem_pairs()
+    np.testing.assert_array_equal(
+        eng.sw_scores(pairs), oracle.sw_scores_pairs(pairs)
+    )
+
+
+def test_sw_tandem_repeat_wraparound_pallas_interpret():
+    pairs = _tandem_pairs()
+    e = Engine(EngineConfig(backend="pallas"), interpret=True)
+    np.testing.assert_array_equal(
+        e.sw_scores(pairs), oracle.sw_scores_pairs(pairs)
+    )
+
+
+def test_pairhmm_n_run_haplotype_wraparound(eng):
+    """'N' runs in the haplotype make every row's emission match-all;
+    combined with a second read-similar region they are the PairHMM
+    analog of the SW tandem-repeat wrap trigger. The packed-zero
+    transition constants (and the pm dead-row pin) must keep pad rows
+    opaque so nothing survives the circular roll."""
+    rng = np.random.default_rng(9)
+    abc = np.frombuffer(b"ACGT", np.uint8)
+    L = 120
+    bases = rng.choice(abc, L).tobytes()
+    q = bytes([40] * L)
+    from genomax.io.formats import PairHMMBatch, PairHMMRead
+
+    rd = PairHMMRead(bases=bases, base_q=q, ins_q=q, del_q=q, gcp_q=q)
+    haps = [
+        rng.choice(abc, 60).tobytes() + b"N" * 200 + bases + b"N" * 100,
+        b"N" * 500,
+        bases + b"N" * 130 + bases,
+    ]
+    batch = PairHMMBatch(reads=[rd], haplotypes=haps)
+    e = Engine(EngineConfig(backend="lax", phmm_fallback_threshold=None))
+    got = e.pairhmm([batch])
+    want = oracle.pairhmm_batch_log10(batch)
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
 def test_sw_random_scoring_configs_vs_oracle():
     """The mask-free formulation must hold across the whole supported
     scoring domain (match>0, mismatch<0, open<=0, extend<0), including

@@ -35,6 +35,7 @@ def _run(mesh, pairs, unroll=16):
             strip_w=b.strip_w,
             n_diags=b.n_diags,
             unroll=b.unroll,
+            anchor=b.anchor,
         )
     )
     return got[: b.n_valid]
@@ -64,4 +65,35 @@ def test_xsharded_identical_and_disjoint(mesh):
 def test_xsharded_ragged_tiny(mesh):
     pairs = [SWPair(sx=b"ACGT", sy=b"ACGTACGT"), SWPair(sx=b"A", sy=b"A")]
     got = _run(mesh, pairs, unroll=8)
+    np.testing.assert_array_equal(got, oracle.sw_scores_pairs(pairs))
+
+
+def test_xsharded_small_unroll_anchor(mesh):
+    # ADVICE r1: with unroll 1/2/4 the kernel's old anchor reconstruction
+    # (ndt - (K-1)(w+U) - w) overshot the pack anchor whenever the pack's
+    # final SUB_Q round-up moved — the anchor must come from the pack.
+    rng = np.random.default_rng(77)
+    pairs = []
+    for _ in range(6):
+        a = rng.choice(list(b"ATGC"), int(rng.integers(100, 260))).astype(np.uint8).tobytes()
+        b = rng.choice(list(b"ATGC"), int(rng.integers(100, 260))).astype(np.uint8).tobytes()
+        if len(a) > len(b):
+            a, b = b, a
+        pairs.append(SWPair(sx=a, sy=b))
+    for unroll in (1, 2, 4):
+        got = _run(mesh, pairs, unroll=unroll)
+        np.testing.assert_array_equal(
+            got, oracle.sw_scores_pairs(pairs), err_msg=f"unroll={unroll}"
+        )
+
+
+def test_xsharded_tandem_repeat(mesh):
+    # wrap-around adversary (see test_wavefront._tandem_pairs): halo
+    # injection must carry the true neighbor rows, and device 0's zero
+    # inject must behave as the column boundary, not a wrap.
+    rng = np.random.default_rng(5)
+    x = rng.choice(list(b"ATGC"), 150).astype(np.uint8).tobytes()
+    junk = rng.choice(list(b"ATGC"), 160).astype(np.uint8).tobytes()
+    pairs = [SWPair(sx=x, sy=x + junk + x)]
+    got = _run(mesh, pairs)
     np.testing.assert_array_equal(got, oracle.sw_scores_pairs(pairs))
