@@ -61,10 +61,35 @@ def main():
     t0 = time.time()
     bucket = pack_sw_pairs(pairs)[0]
     log(f"pack: {time.time()-t0:.2f}s tiles={bucket.sx.shape}")
-    args = [jnp.asarray(x) for x in (bucket.sx, bucket.sy, bucket.ndiag_tile)]
+
+    # Strip-mined kernel (sweeps only live diagonals; 135.9 vs 62.9
+    # GCUPS at this point, kernels/sw_strips.py) with the resident
+    # kernel as fallback for tiny buckets. Arrays are placed on device
+    # once; timing is kernel-only like the reference's
+    # (hipvers.cpp:475-483).
+    from genomax.kernels.sw_strips import (
+        prep_bucket_strips,
+        sw_forward_pallas_strips,
+    )
+
+    prep = prep_bucket_strips(bucket)
+    if prep is not None:
+        (sxs, sys_, ndt, nyt), statics = prep
+        dev = [jnp.asarray(x) for x in (sxs, sys_, ndt, nyt)]
+
+        def run():
+            return sw_forward_pallas_strips(
+                *dev, unroll=unroll, interpret=interp, **statics
+            )
+    else:
+        args = [jnp.asarray(x)
+                for x in (bucket.sx, bucket.sy, bucket.ndiag_tile)]
+
+        def run():
+            return sw_forward_pallas(*args, unroll=unroll, interpret=interp)
 
     t0 = time.time()
-    res = np.asarray(sw_forward_pallas(*args, unroll=unroll, interpret=interp))
+    res = np.asarray(run())
     log(f"compile+first: {time.time()-t0:.1f}s")
     got = np.zeros(n * reps, np.int32)
     got[bucket.perm] = res.reshape(-1)[: bucket.n_valid]
@@ -74,7 +99,7 @@ def main():
     best = float("inf")
     for _ in range(2 if tiny else 6):
         t0 = time.time()
-        np.asarray(sw_forward_pallas(*args, unroll=unroll, interpret=interp))
+        np.asarray(run())
         best = min(best, (time.time() - t0) / reps)
     cells = n * (L + 1) ** 2
     gcups = cells / best / 1e9
@@ -119,13 +144,20 @@ def main():
                                              b.ndiag_tile))
         np.asarray(pairhmm_forward_pallas(*dev, interpret=interp))
         bestp = float("inf")
+        repsp = 3  # sustained: back-to-back dispatches, one fence — the
+        # same amortization as the SW headline (per-dispatch host/tunnel
+        # latency overlaps device execution in a pipeline; the reference
+        # also times kernel-only, pairHMM.cu:619-632)
         for _ in range(4):
             t0 = time.time()
-            np.asarray(pairhmm_forward_pallas(*dev, interpret=interp))
-            bestp = min(bestp, time.time() - t0)
+            outs = [pairhmm_forward_pallas(*dev, interpret=interp)
+                    for _ in range(repsp)]
+            for o in outs:
+                np.asarray(o)
+            bestp = min(bestp, (time.time() - t0) / repsp)
         pc = int((b.rl.astype(np.int64) * b.hl).sum())
         log(f"PairHMM 65536x151x300: {bestp*1e3:.0f} ms = {pc/bestp/1e9:.2f} "
-            f"GCUPS (ref C {0.106} GCUPS)")
+            f"GCUPS sustained (ref C {0.106} GCUPS)")
     except Exception as e:  # secondary must not break the headline line
         log(f"PairHMM secondary failed: {e!r}")
 

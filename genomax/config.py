@@ -108,6 +108,15 @@ class EngineConfig:
     # Stream buffers larger than this many rows use the HBM-streamed
     # kernel variant instead of a VMEM-resident stream.
     stream_vmem_rows: int = 6144
+    # Route SW buckets with at least this many sublane rows through the
+    # strip-mined batched kernel (kernels/sw_strips.py), which sweeps
+    # only each strip's live diagonals. Measured on v5e (25k pairs/point,
+    # sustained): 512bp 135.9 vs 62.9 GCUPS resident, 1024bp 205.4 vs
+    # 58.4, 256bp 111.9 vs 64.5, 128bp 56.6 vs 45.6 — but 64bp loses
+    # (11.7 vs 20.2: too few vregs per step to hide the scalar-core
+    # window addressing), hence the floor. False disables.
+    sw_strips: bool = True
+    strips_min_nxs: int = 128
 
     def resolve_backend(self) -> str:
         if self.backend != "auto":

@@ -205,7 +205,32 @@ class Engine:
             )
 
             # Big stream buffers (long y sequences) stay in HBM and are
-            # slab-DMA'd; everything else rides the VMEM-resident path.
+            # slab-DMA'd; mid/large sublane windows route to the strip-
+            # mined kernel (sweeps only live diagonals: ~2x at 512bp,
+            # ~3.5x at 1024bp, see EngineConfig.sw_strips); the rest
+            # rides the VMEM-resident kernel.
+            if b.sy.shape[1] <= self.cfg.stream_vmem_rows and (
+                self.cfg.sw_strips
+                and b.sx.shape[1] >= self.cfg.strips_min_nxs
+            ):
+                from genomax.kernels.sw_strips import (
+                    prep_bucket_strips,
+                    sw_forward_pallas_strips,
+                )
+
+                prep = prep_bucket_strips(b)
+                if prep is not None:
+                    (sx, sy, ndt, nyt), statics = prep
+                    return sw_forward_pallas_strips(
+                        jnp.asarray(sx),
+                        jnp.asarray(sy),
+                        jnp.asarray(ndt),
+                        jnp.asarray(nyt),
+                        cfg=self.sw_cfg,
+                        unroll=self.cfg.unroll,
+                        interpret=self.interpret,
+                        **statics,
+                    )
             fn = (
                 sw_forward_pallas_streamed
                 if b.sy.shape[1] > self.cfg.stream_vmem_rows

@@ -117,6 +117,40 @@ def test_sw_long_strip_kernel_interpret():
     np.testing.assert_array_equal(got, oracle.sw_scores_pairs(pairs))
 
 
+def test_sw_strips_kernel_interpret():
+    """The batched strip-mined kernel (VMEM halo ping-pong) vs the
+    oracle: random ragged pairs + strip-seam-crossing adversaries
+    (identical pair = max score through every seam; tandem repeat =
+    the circular-roll wrap trigger; all-mismatch = zero floor)."""
+    from genomax.kernels.sw_strips import run_bucket_strips
+    from genomax.pack.bucketing import pack_sw_pairs, unpack_scores
+
+    rng = np.random.default_rng(12)
+    abc = np.frombuffer(b"ATGC", np.uint8)
+    pairs = []
+    for _ in range(12):
+        a = rng.choice(abc, int(rng.integers(40, 90))).tobytes()
+        b = rng.choice(abc, int(rng.integers(40, 90))).tobytes()
+        if len(a) > len(b):
+            a, b = b, a
+        pairs.append(SWPair(sx=a, sy=b))
+    x = rng.choice(abc, 60).tobytes()
+    j = rng.choice(abc, 70).tobytes()
+    pairs.append(SWPair(sx=x, sy=x + j + x))
+    pairs.append(SWPair(sx=b"A" * 70, sy=b"T" * 90))
+    s = rng.choice(abc, 80).tobytes()
+    pairs.append(SWPair(sx=s, sy=s))
+    pairs.append(SWPair(sx=b"A", sy=b"A"))
+
+    buckets = pack_sw_pairs(pairs)
+    res = [
+        np.asarray(run_bucket_strips(b, strip_w=24, unroll=8, interpret=True))
+        for b in buckets
+    ]
+    got = unpack_scores(buckets, res, len(pairs))
+    np.testing.assert_array_equal(got, oracle.sw_scores_pairs(pairs))
+
+
 def test_engine_routes_long_pairs_to_strip_kernel():
     from genomax.config import EngineConfig
     from genomax.engine.executor import Engine as _E
