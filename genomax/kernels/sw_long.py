@@ -114,7 +114,7 @@ def pack_sw_long(pairs, strip_w: int = STRIP_W) -> SWLongPacked:
 
 
 def _kernel(sx_hbm, sy_hbm, hd0, hq0, out_ref, hd_hbm, hq_hbm,
-            zscr, sxv, slab, hin, hout, sems, *, cfg: SWConfig, k_strips: int,
+            zscr, sxv, slab, hin, hout, houtb, sems, *, cfg: SWConfig, k_strips: int,
             w: int, anchor: int, sweep_chunks: int, unroll: int):
     del hd0, hq0  # aliased to hd_hbm/hq_hbm (zero-initialized by caller)
     og_e = cfg.gap_open + cfg.gap_extend
@@ -178,7 +178,21 @@ def _kernel(sx_hbm, sy_hbm, hd0, hq0, out_ref, hd_hbm, hq_hbm,
             hinq_dma(slot, ci).wait()
 
             def block(sb, st):
+                # Block-granular halo traffic (same pattern as
+                # kernels/sw_strips.py): neighbor rows read as one
+                # (unroll, 128) slab with static in-block extracts,
+                # bottom rows staged in a static-offset scratch and
+                # flushed once per block. Measured equal to the per-step
+                # single-row form on v5e (within drift); kept for the
+                # bounded dynamic-addressing structure.
                 P1, D1, D1s, Q1s, D2s, mx = st
+                hdblk = jnp.where(
+                    is0, 0,
+                    hin[pl.ds(slot * 2 * CHUNK + sb * unroll, unroll), :])
+                hqblk = jnp.where(
+                    is0, 0,
+                    hin[pl.ds(slot * 2 * CHUNK + CHUNK + sb * unroll,
+                              unroll), :])
                 for tt in range(unroll):
                     # loop diagonal d = ci*CHUNK + sb*unroll + tt
                     off = CHUNK - sb * unroll - tt
@@ -189,16 +203,13 @@ def _kernel(sx_hbm, sy_hbm, hd0, hq0, out_ref, hd_hbm, hq_hbm,
                     Dn = jnp.maximum(jnp.maximum(Pn, Qn) + og_e,
                                      jnp.maximum(D2s + sub, 0))
                     mx = jnp.maximum(mx, Dn)
-                    ro = sb * unroll + tt
-                    hout[pl.ds(ro, 1), :] = Dn[w - 1 : w, :]
-                    hout[pl.ds(CHUNK + ro, 1), :] = Qn[w - 1 : w, :]
-                    hdrow = jnp.where(
-                        is0, 0, hin[pl.ds(slot * 2 * CHUNK + ro, 1), :])
-                    hqrow = jnp.where(
-                        is0, 0, hin[pl.ds(slot * 2 * CHUNK + CHUNK + ro, 1), :])
-                    D1sn = jnp.where(row0, hdrow, roll1(Dn))
-                    Q1sn = jnp.where(row0, hqrow, roll1(Qn))
+                    houtb[tt : tt + 1, :] = Dn[w - 1 : w, :]
+                    houtb[unroll + tt : unroll + tt + 1, :] = Qn[w - 1 : w, :]
+                    D1sn = jnp.where(row0, hdblk[tt : tt + 1, :], roll1(Dn))
+                    Q1sn = jnp.where(row0, hqblk[tt : tt + 1, :], roll1(Qn))
                     P1, D1, D1s, Q1s, D2s = Pn, Dn, D1sn, Q1sn, D1s
+                hout[pl.ds(sb * unroll, unroll), :] = houtb[:unroll, :]
+                hout[pl.ds(CHUNK + sb * unroll, unroll), :] = houtb[unroll:, :]
                 return (P1, D1, D1s, Q1s, D2s, mx)
 
             st = jax.lax.fori_loop(0, n_sub, block, st)
@@ -276,6 +287,7 @@ def sw_forward_pallas_long(
                 pltpu.VMEM((2 * (w + CHUNK), LANES), jnp.int32),  # stream
                 pltpu.VMEM((2 * 2 * CHUNK, LANES), jnp.int32),  # halo in
                 pltpu.VMEM((2 * CHUNK, LANES), jnp.int32),  # halo out
+                pltpu.VMEM((2 * unroll, LANES), jnp.int32),  # block halo-out
                 pltpu.SemaphoreType.DMA((9,)),
             ],
         ),

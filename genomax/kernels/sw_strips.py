@@ -97,13 +97,13 @@ def _kernel(nd_ref, nyt_ref, sx_ref, sy_ref, out_ref, zscr, halo, hout, *,
         wbase = (k % 2) * 2 * hs  # this strip's halo write slot
         rbase = ((k + 1) % 2) * 2 * hs  # neighbor's slot (strip 0: zeros)
 
-        # Halo traffic is block-granular: dynamic sublane-offset accesses
-        # cost ~100 cycles each on the scalar core, so per-STEP halo rows
-        # (4/step) would dominate the ~13-op vector step (measured 12x
-        # slowdown). Instead: one (unroll, 128) dynamic load of the
-        # neighbor rows per block, static row extracts inside; per-step
-        # bottom rows go to a static-offset scratch, flushed with one
-        # dynamic store per block.
+        # Halo traffic is block-granular: one (unroll, 128) dynamic load
+        # of the neighbor rows per block with static row extracts inside,
+        # per-step bottom rows staged in a static-offset scratch and
+        # flushed with one dynamic store per block. Measured on v5e this
+        # is a wash vs per-step single-row dynamic accesses (152 vs 154
+        # GCUPS — Mosaic handles both well); kept because it bounds the
+        # dynamic-addressing work per block by construction.
         def block(sb, st, sxb=sxb, subm=subm, subx=subx, wbase=wbase,
                   rbase=rbase):
             P1, D1, D1s, Q1s, D2s, mx = st
