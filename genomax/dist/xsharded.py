@@ -29,6 +29,16 @@ bp — nothing to shard), and long HAPLOTYPES are the stream axis, which
 the HBM-streamed kernel already handles at any length on one chip
 (kernels/pairhmm_pallas.py). Sharding PairHMM's read axis would add
 cross-strip exponent reconciliation for no workload that needs it.
+
+The per-block compute runs in a Pallas kernel (_strip_block_pallas);
+only the ppermute halo exchange and the block loop live at the XLA
+level. Measured (1-device mesh, real v5e, 128 x 2000x2400bp, U=32):
+16.6 GCUPS on real cells — the carries round-trip through HBM at every
+block boundary (6 x (W,128) arrays per block), which costs ~2x vs the
+fused single-chip kernels; larger U amortizes it at the price of a
+bigger halo message and deeper skew bubble. This path exists for pairs
+too big for ONE chip's VMEM, where that trade is the point; single-chip
+workloads route to kernels/sw_strips.py / sw_long.py instead.
 """
 
 from __future__ import annotations
@@ -48,6 +58,66 @@ from genomax.pack.bucketing import (
     SUB_Q,
     _round_up,
 )
+
+
+def _strip_block_pallas(sxb, slab, hD, hQ, state, *, w: int, U: int,
+                        cfg: SWConfig, interpret: bool):
+    """One skewed block (U diagonals) of one device's strip as a Pallas
+    kernel — the in-kernel hot loop the CUDA reference keeps in
+    alignGPU (smithWaterman.cu:266-350), at the multi-chip level. The
+    caller (shard_fn) slices the stream slab so every window offset is
+    STATIC inside the kernel, and handles the ppermute halo exchange
+    outside; the kernel consumes the neighbor rows (hD/hQ) and produces
+    this block's boundary rows (bD/bQ).
+
+    slab: (w+U, 128) stream rows [A' - start - U, ...); the window for
+    in-block step tt is slab[U - tt : U - tt + w)."""
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kern(sxb_ref, slab_ref, hD_ref, hQ_ref, P1_ref, D1_ref, D1s_ref,
+             Q1s_ref, D2s_ref, mx_ref, oP1, oD1, oD1s, oQ1s, oD2s, omx,
+             obD, obQ):
+        if interpret:
+            roll1 = functools.partial(jnp.roll, shift=1, axis=0)
+        else:
+            roll1 = lambda x: pltpu.roll(x, 1, axis=0)  # noqa: E731
+        ge = cfg.gap_extend
+        og_e = cfg.gap_open + cfg.gap_extend
+        sxb_v = sxb_ref[:]
+        subm = (sxb_v - sxb_v) + cfg.match
+        subx = (sxb_v - sxb_v) + cfg.mismatch
+        row0 = jax.lax.broadcasted_iota(jnp.int32, (w, LANES), 0) == 0
+        P1, D1, D1s, Q1s, D2s, mx = (
+            P1_ref[:], D1_ref[:], D1s_ref[:], Q1s_ref[:], D2s_ref[:],
+            mx_ref[:],
+        )
+        for tt in range(U):
+            syw = slab_ref[U - tt : U - tt + w, :]
+            Pn = jnp.maximum(D1, P1 + ge)
+            Qn = jnp.maximum(D1s, Q1s + ge)
+            sub = jnp.where(syw == sxb_v, subm, subx)
+            Dn = jnp.maximum(jnp.maximum(Pn, Qn) + og_e,
+                             jnp.maximum(D2s + sub, 0))
+            mx = jnp.maximum(mx, Dn)
+            obD[tt : tt + 1, :] = Dn[w - 1 : w, :]
+            obQ[tt : tt + 1, :] = Qn[w - 1 : w, :]
+            D1sn = jnp.where(row0, hD_ref[tt : tt + 1, :], roll1(Dn))
+            Q1sn = jnp.where(row0, hQ_ref[tt : tt + 1, :], roll1(Qn))
+            P1, D1, D1s, Q1s, D2s = Pn, Dn, D1sn, Q1sn, D1s
+        oP1[:], oD1[:], oD1s[:], oQ1s[:], oD2s[:], omx[:] = (
+            P1, D1, D1s, Q1s, D2s, mx,
+        )
+
+    sh_w = jax.ShapeDtypeStruct((w, LANES), jnp.int32)
+    sh_u = jax.ShapeDtypeStruct((U, LANES), jnp.int32)
+    outs = pl.pallas_call(
+        kern,
+        out_shape=[sh_w] * 6 + [sh_u] * 2,
+        interpret=interpret,
+    )(sxb, slab, hD, hQ, *state)
+    return tuple(outs[:6]), outs[6], outs[7]
 
 
 @dataclasses.dataclass
@@ -101,7 +171,8 @@ def pack_sw_xsharded(pairs, n_devices: int, unroll: int = 16) -> SWXPacked:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "strip_w", "n_diags", "unroll", "anchor", "cfg"),
+    static_argnames=("mesh", "strip_w", "n_diags", "unroll", "anchor", "cfg",
+                     "interpret"),
 )
 def sw_forward_xsharded(
     sx,  # (K*W, 128) int8/int32, sharded along sublanes
@@ -113,6 +184,7 @@ def sw_forward_xsharded(
     unroll: int = 16,
     anchor: int | None = None,  # the pack's stream anchor (SWXPacked.anchor)
     cfg: SWConfig = SWConfig(),
+    interpret: bool = False,
 ):
     """Returns (128,) int32 scores for one tile of huge pairs.
 
@@ -129,20 +201,13 @@ def sw_forward_xsharded(
 
     k_devices = mesh.devices.size
     w, U = strip_w, unroll
-    og_e = cfg.gap_open + cfg.gap_extend
-    ge = cfg.gap_extend
     n_blocks = -(-n_diags // U) + k_devices - 1
 
     def shard_fn(sx_s, sy_s):
         k = jax.lax.axis_index(DATA_AXIS)
         sxb = sx_s.astype(jnp.int32)
         syb = sy_s.astype(jnp.int32)
-        nds = syb.shape[0]
         a_base = anchor
-        subm = (sxb - sxb) + cfg.match
-        subx = (sxb - sxb) + cfg.mismatch
-        row0 = jax.lax.broadcasted_iota(jnp.int32, (w, LANES), 0) == 0
-        roll1 = functools.partial(jnp.roll, shift=1, axis=0)
         is0 = k == 0
         perm = [(i, i + 1) for i in range(k_devices - 1)]
 
@@ -153,36 +218,24 @@ def sw_forward_xsharded(
             P1, D1, D1s, Q1s, D2s, mx, haloD, haloQ = st
             # Boundary rows for this block's diagonal range, produced by
             # the left neighbor one outer iteration ago (device 0 gets
-            # the pad-equivalent zeros).
+            # the pad-equivalent zeros). The ppermute rides ICI on a
+            # real slice; the per-block compute is the Pallas kernel.
             hD = jnp.where(is0, 0, jax.lax.ppermute(haloD, DATA_AXIS, perm))
             hQ = jnp.where(is0, 0, jax.lax.ppermute(haloQ, DATA_AXIS, perm))
 
             start = (b - k) * U  # this block's first diagonal
-            bD, bQ = [], []
-            for t in range(U):
-                d = start + t
-                # stream window rows [a_base + k*w - d, ... + w)
-                syw = jax.lax.dynamic_slice_in_dim(
-                    syb, a_base + k * w - d, w, axis=0
-                )
-                Pn = jnp.maximum(D1, P1 + ge)
-                Qn = jnp.maximum(D1s, Q1s + ge)
-                sub = jnp.where(syw == sxb, subm, subx)
-                Dn = jnp.maximum(
-                    jnp.maximum(Pn, Qn) + og_e, jnp.maximum(D2s + sub, 0)
-                )
-                mx = jnp.maximum(mx, Dn)
-                bD.append(Dn[-1:])
-                bQ.append(Qn[-1:])
-                # Roll forward; the halo row for diagonal d replaces the
-                # wrap value at sublane 0 (it feeds diagonal d+1).
-                D1sn = jnp.where(row0, hD[t : t + 1], roll1(Dn))
-                Q1sn = jnp.where(row0, hQ[t : t + 1], roll1(Qn))
-                P1, D1, D1s, Q1s, D2s = Pn, Dn, D1sn, Q1sn, D1s
-            return (
-                P1, D1, D1s, Q1s, D2s, mx,
-                jnp.concatenate(bD, axis=0), jnp.concatenate(bQ, axis=0),
+            # Stream rows [A' - start - U, + w+U), A' = a_base + k*w:
+            # the union of the block's per-step windows (window for step
+            # tt at static slab offset U - tt). In bounds for the whole
+            # skewed sweep by the pack's anchor/ndt slack.
+            slab = jax.lax.dynamic_slice_in_dim(
+                syb, a_base + k * w - start - U, w + U, axis=0
             )
+            state, bD, bQ = _strip_block_pallas(
+                sxb, slab, hD, hQ, (P1, D1, D1s, Q1s, D2s, mx),
+                w=w, U=U, cfg=cfg, interpret=interpret,
+            )
+            return (*state, bD, bQ)
 
         st = (z, z, z, z, z, z, zh, zh)
         st = jax.lax.fori_loop(0, n_blocks, outer, st)

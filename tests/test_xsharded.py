@@ -36,6 +36,7 @@ def _run(mesh, pairs, unroll=16):
             n_diags=b.n_diags,
             unroll=b.unroll,
             anchor=b.anchor,
+            interpret=True,  # CPU mesh: the Pallas inner runs interpreted
         )
     )
     return got[: b.n_valid]
