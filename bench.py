@@ -89,7 +89,17 @@ def main():
             return sw_forward_pallas(*args, unroll=unroll, interpret=interp)
 
     t0 = time.time()
-    res = np.asarray(run())
+    try:
+        res = np.asarray(run())
+    except Exception as e:
+        # Stale persistent-cache executables after a TPU runtime restart
+        # fail with FAILED_PRECONDITION at dispatch; purge + recompile
+        # (same self-heal as engine/_run_buckets).
+        from genomax.engine.executor import _purge_compilation_cache
+
+        log(f"first dispatch failed ({e!r}); purging compile cache, retrying")
+        _purge_compilation_cache()
+        res = np.asarray(run())
     log(f"compile+first: {time.time()-t0:.1f}s")
     got = np.zeros(n * reps, np.int32)
     got[bucket.perm] = res.reshape(-1)[: bucket.n_valid]

@@ -97,3 +97,45 @@ def test_oversized_pairhmm_offload():
     np.testing.assert_allclose(got[:2], want_small, atol=2e-4)
     want_big = native.pairhmm_native([big])
     np.testing.assert_allclose(got[2], want_big[0], atol=1e-9)
+
+
+def test_compilation_cache_config_wiring(monkeypatch, tmp_path):
+    """setup_compilation_cache wires the persistent cache dir + min
+    compile time on a TPU backend (mocked here; the cross-process warm
+    hit is verified on hardware — PERF.md "Compile latency": 317 s cold
+    -> 16.8 s in a second process on the same fresh cache dir)."""
+    import genomax
+    import jax
+
+    monkeypatch.setattr(genomax, "_CACHE_SET_UP", False)
+    monkeypatch.setenv("GENOMAX_CACHE_DIR", str(tmp_path / "cache"))
+    monkeypatch.delenv("GENOMAX_NO_CACHE", raising=False)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    old = jax.config.jax_compilation_cache_dir
+    try:
+        genomax.setup_compilation_cache()
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "cache")
+        assert jax.config.jax_persistent_cache_min_compile_time_secs == 0.5
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old)
+        monkeypatch.setattr(genomax, "_CACHE_SET_UP", False)
+
+
+def test_purge_compilation_cache_removes_dir(monkeypatch, tmp_path):
+    """_run_buckets' retry self-heal: the purge drops the on-disk cache
+    (stale executables after a TPU runtime restart fail with
+    FAILED_PRECONDITION at dispatch)."""
+    import jax
+
+    from genomax.engine.executor import _purge_compilation_cache
+
+    d = tmp_path / "cache"
+    d.mkdir()
+    (d / "entry").write_text("x")
+    old = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", str(d))
+    try:
+        _purge_compilation_cache()
+        assert not d.exists()
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old)
