@@ -92,8 +92,11 @@ class EngineConfig:
     # Oversized-job offload: pairs whose padded sublane extent would
     # overflow VMEM (~16 MB/core) leave the main lane-tile kernels —
     # long SW pairs go to the strip-mined on-device kernel (sw_long),
-    # the rest to the native C++ exact model (the reference caps at
-    # MAX_LINE_LENGTH / MAX_READ_LEN 1000,
+    # long PairHMM reads to the strip-mined long-read kernel
+    # (pairhmm_long: HBM halo FIFO + cross-strip exponent
+    # reconciliation), and only the chromosome-scale remainder (or
+    # device failures) to the native C++ exact model (the reference
+    # caps at MAX_LINE_LENGTH / MAX_READ_LEN 1000,
     # antidiagonalSmithWaterman.c:44 / pairHMMmatrix.c:8).
     # PairHMM applies half these bounds (it carries ~2x
     # the per-position state). Measured on v5e: the streamed SW kernel

@@ -80,6 +80,7 @@ class ShardedEngine:
     _sw_offload_mask = Engine._sw_offload_mask
     _sw_offload_post = Engine._sw_offload_post
     _phmm_offload_mask = Engine._phmm_offload_mask
+    _phmm_offload_post = Engine._phmm_offload_post
     _phmm_native_subset = Engine._phmm_native_subset
     _phmm_fallback = Engine._phmm_fallback
 
@@ -165,9 +166,7 @@ class ShardedEngine:
         results = _run_buckets("pairhmm-sharded", buckets, dispatch)
         stats.exec_s = time.perf_counter() - t0
         out = unpack_scores(buckets, results, n, np.float32)
-        if off is not None:
-            out = self._phmm_native_subset(batches, out, np.nonzero(off)[0])
-            stats.offloaded_jobs = int(off.sum())
-        out = self._phmm_fallback(batches, out, stats, skip=off)
+        out, native_done = self._phmm_offload_post(batches, out, off, stats)
+        out = self._phmm_fallback(batches, out, stats, skip=native_done)
         self.last_stats = stats
         return out

@@ -420,12 +420,60 @@ class Engine:
         results = _run_buckets("pairhmm", buckets, self._phmm_bucket)
         stats.exec_s = time.perf_counter() - t0
         out = unpack_scores(buckets, results, n, np.float32)
-        if off is not None:
-            out = self._phmm_native_subset(batches, out, np.nonzero(off)[0])
-            stats.offloaded_jobs = int(off.sum())
-        out = self._phmm_fallback(batches, out, stats, skip=off)
+        out, native_done = self._phmm_offload_post(batches, out, off, stats)
+        out = self._phmm_fallback(batches, out, stats, skip=native_done)
         self.last_stats = stats
         return out
+
+    def _phmm_offload_post(self, batches, out, off, stats):
+        """Score the offloaded (too big for the lane-tile kernels) jobs:
+        the strip-mined long-read kernel on device where it fits (the
+        reference caps reads at MAX_READ_LEN 1000 on the CPU,
+        pairHMMmatrix.c:8; kernels/pairhmm_long.py runs 2048+ on chip),
+        the exact native fp64 model for the chromosome-scale remainder
+        or on any device failure. Returns (out, native_done) where
+        native_done marks jobs already exact-fp64 (excluded from the
+        deep-negative fallback; device-computed long jobs still take it).
+        """
+        if off is None:
+            return out, None
+        idx = np.nonzero(off)[0]
+        stats.offloaded_jobs = len(idx)
+        jobs = []
+        j = 0
+        want = set(int(i) for i in idx)
+        for b in batches:
+            for rd in b.reads:
+                for hp in b.haplotypes:
+                    if j in want:
+                        jobs.append((j, rd, hp))
+                    j += 1
+        nat = idx
+        if self.backend == "pallas":
+            dev_ok = np.array(
+                [len(rd.bases) + len(hp) + 1 <= self.cfg.max_device_diags
+                 for _, rd, hp in jobs]
+            )
+            if dev_ok.any():
+                from genomax.kernels.pairhmm_long import pairhmm_long
+
+                didx = idx[dev_ok]
+                try:
+                    out[didx] = pairhmm_long(
+                        [(rd, hp) for (_, rd, hp), ok in zip(jobs, dev_ok)
+                         if ok],
+                        self.phmm_cfg.phred_offset,
+                        interpret=self.interpret,
+                    )
+                    nat = idx[~dev_ok]
+                except Exception:
+                    nat = idx  # device failure: whole set to native
+        native_done = None
+        if len(nat):
+            out = self._phmm_native_subset(batches, out, nat)
+            native_done = np.zeros(len(out), bool)
+            native_done[nat] = True
+        return out, native_done
 
     def _phmm_native_subset(self, batches, out, idx):
         """Recompute the given flat job indices through the native fp64

@@ -164,3 +164,64 @@ def test_engine_routes_long_pairs_to_strip_kernel():
     got = e.sw_scores(pairs)
     assert e.last_stats.offloaded_jobs == 1
     np.testing.assert_array_equal(got, oracle.sw_scores_pairs(pairs))
+
+
+def test_pairhmm_long_strip_kernel_interpret():
+    """The strip-mined long-read PairHMM kernel (HBM halo FIFO + cross-
+    strip exponent reconciliation) vs the fp64 oracle: ragged jobs
+    spanning several strips, a max-likelihood identical pair, and a
+    deep all-mismatch pair whose rescales cross strip boundaries."""
+    from genomax.io.formats import PairHMMRead
+    from genomax.kernels.pairhmm_long import pairhmm_long
+
+    rng = np.random.default_rng(11)
+    abc = np.frombuffer(b"ACGT", np.uint8)
+
+    def mk(L, q=35, bases=None):
+        b = bases if bases is not None else rng.choice(abc, L).tobytes()
+        qs = bytes([q] * L)
+        return PairHMMRead(bases=b, base_q=qs, ins_q=qs, del_q=qs, gcp_q=qs)
+
+    jobs = []
+    for L, H in [(60, 70), (55, 40), (30, 100)]:
+        jobs.append((mk(L), rng.choice(abc, H).tobytes()))
+    b = rng.choice(abc, 64).tobytes()
+    jobs.append((mk(64, bases=b), b))
+    jobs.append((mk(64, q=40, bases=b"A" * 64), b"C" * 72))  # deep, rescaling
+
+    got = pairhmm_long(jobs, strip_w=24, unroll=8, interpret=True)
+    for i, (rd, h) in enumerate(jobs):
+        want = oracle.pairhmm_log10(
+            rd.bases, rd.base_q, rd.ins_q, rd.del_q, rd.gcp_q, h)
+        np.testing.assert_allclose(got[i], want, atol=2e-4,
+                                   err_msg=f"job {i}")
+
+
+def test_engine_routes_long_reads_to_strip_kernel():
+    """Oversized reads route to the on-device long-read kernel on the
+    pallas backend (native fp64 only for chromosome-scale / failures),
+    and the deep-negative fallback still applies to device results."""
+    from genomax.config import EngineConfig
+    from genomax.engine.executor import Engine as _E
+    from genomax.io.formats import PairHMMBatch, PairHMMRead
+
+    rng = np.random.default_rng(13)
+    abc = np.frombuffer(b"ACGT", np.uint8)
+    L = 80
+    q = bytes([35] * L)
+    long_rd = PairHMMRead(bases=rng.choice(abc, L).tobytes(), base_q=q,
+                          ins_q=q, del_q=q, gcp_q=q)
+    qs = bytes([35] * 12)
+    small_rd = PairHMMRead(bases=rng.choice(abc, 12).tobytes(), base_q=qs,
+                           ins_q=qs, del_q=qs, gcp_q=qs)
+    batch = PairHMMBatch(reads=[small_rd, long_rd],
+                         haplotypes=[rng.choice(abc, 40).tobytes()])
+    # max_device_len=64 -> the 80bp read is "oversized" and must ride
+    # the long kernel (fallback disabled so the device value is what we
+    # check; it is shallow enough to be exact).
+    e = _E(EngineConfig(backend="pallas", max_device_len=64,
+                        phmm_fallback_threshold=None), interpret=True)
+    got = e.pairhmm([batch])
+    assert e.last_stats.offloaded_jobs == 1
+    want = oracle.pairhmm_batch_log10(batch)
+    np.testing.assert_allclose(got, want, atol=2e-4)
