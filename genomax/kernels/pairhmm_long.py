@@ -19,12 +19,19 @@ per-lane rescale COUNT per diagonal; the reader:
 
   * snaps its frame to the incoming count at strip start (strip 0
     starts at count 0 — the base frame);
-  * converts every injected halo row by 2**(80*(cnt_r - cnt_w)),
-    applied as two 2**(40*d) multiplies with d clamped to ±1 and the
-    row zeroed beyond (frames of ADJACENT live cells cannot drift more
-    than one rescale apart: the reader's masked peak includes its
-    boundary row, so it cannot rescale while neighbor-adjacent values
-    are high; |delta| >= 2 therefore only occurs for dead/zero rows);
+  * never lets a reader run DEEPER than its writer's frame (up-rescales
+    are gated on cnt < the writer's current count; strip 0 — the global
+    frame reference — rescales freely). Without the gate a strip whose
+    local window holds only negligible mass (~10^-400) would rescale
+    ahead, and the tall mass later arriving laterally from its writer
+    would need an up-conversion beyond fp32 range (measured). Gated
+    flushes lose only mass >= 86 orders below the lateral inflow;
+  * converts every injected halo row by 2**(80*(cnt_r - cnt_w)) — with
+    the gate, always a DOWN-conversion (delta <= 0) — applied as two
+    2**(40*d) multiplies with d clipped at -3: the writer can be
+    legitimately deeper by several rescales (its window decays once the
+    alignment moves past it), and anything beyond 2**-240 underflows to
+    an exact, truly negligible 0;
   * carries the likelihood accumulator with its own frame count
     (acc_cnt): while the accumulator is empty it snaps to the current
     strip's frame, afterwards the standard follow/freeze logic of
@@ -230,12 +237,20 @@ def _kernel(rchar_hbm, qual_hbm, hap_hbm, meta_ref, hM0, hX0, hY0, hC0,
                 hXb = hin[pl.ds(1 * CHUNK + sb * unroll, unroll), :]
                 hYb = hin[pl.ds(2 * CHUNK + sb * unroll, unroll), :]
                 hCb = hin[pl.ds(3 * CHUNK + sb * unroll, unroll), :]
+                # Frame conversion 2**(80*(cnt_r - cnt_w)), applied as
+                # two 2**(40*d) multiplies so every stage stays in fp32
+                # range. The clip is ASYMMETRIC: the writer can be
+                # legitimately DEEPER by several rescales (its local
+                # window decays while the reader's match diagonal keeps
+                # its peak high), so negative deltas convert down to
+                # -3 (2**-240 total; anything deeper underflows to an
+                # exact, truly-negligible 0). The reader cannot be more
+                # than ~1 rescale deeper than live neighbor values: its
+                # masked peak includes its own boundary row, which
+                # tracks the injected values — so +1 caps the up-convert
+                # and a pathological larger gap errs small, never inf.
                 delta = cnt - hCb  # (unroll, 128) broadcast
-                g = jnp.where(
-                    jnp.abs(delta) <= 1.0,
-                    jnp.exp2(40.0 * jnp.clip(delta, -1.0, 1.0)),
-                    0.0,
-                )
+                g = jnp.exp2(40.0 * jnp.clip(delta, -3.0, 1.0))
                 g = jnp.where(is0, 0.0, g)
                 hMb = (hMb * g) * g
                 hXb = (hXb * g) * g
@@ -282,13 +297,42 @@ def _kernel(rchar_hbm, qual_hbm, hap_hbm, meta_ref, hM0, hX0, hY0, hC0,
                     v2, jnp.maximum(jnp.maximum(M2s, X2s), Y2s), z))
                 peak = jnp.max(live, axis=0, keepdims=True)
                 alive = jnp.asarray(d, jnp.int32) <= rlhl + 1
-                need = alive & (peak > 0.0) & (peak < PHMM_RESCALE_TRIGGER)
+                # A reader may never run DEEPER than its writer's frame
+                # (strip 0, the global reference, rescales freely). This
+                # makes delta <= 0 at every inject, so up-conversion —
+                # which would overflow when tall mass arrives laterally
+                # into a strip whose own window had decayed (measured:
+                # the reader rescaled on ~10^-400 junk mass, then the
+                # arriving match values hit the overflow cap) — never
+                # happens. Mass flushed while gated is >= 86 orders
+                # below the lateral inflow from the writer at the same
+                # frame, i.e. below fp32 summation noise.
+                hc_last = hCb[unroll - 1 : unroll, :]
+                lead_ok = is0 | (cnt < hc_last)
+                need = (alive & (peak > 0.0)
+                        & (peak < PHMM_RESCALE_TRIGGER) & lead_ok)
                 f = jnp.where(need, PHMM_RESCALE_FACTOR, 1.0)
                 asum = jnp.max(acc, axis=0, keepdims=True)
                 follow = need & (asum < PHMM_RESCALE_TRIGGER)
+                # Cap at 2**126 (< FLT_MAX, > the 2**120 in-window design
+                # ceiling): a strip's masked peak collapses once the
+                # alignment leaves its local window while OUT-of-window
+                # cells (j > hap_len, continuously re-seeded from the
+                # row-0 Y constant cascade) still hold ~2**107+ values;
+                # repeated rescales would push those to inf, whose 0*inf
+                # products at pad rows poison everything downstream as
+                # NaN. Cells beyond the hap end can never re-enter the
+                # live window (j only grows) — in their own strip, via
+                # the halo, or in the accumulator (lmask bounds j) — so
+                # capping them is exact for every reported value.
+                cap = 2.0**126
+
+                def rs(v):
+                    return jnp.minimum(v * f, cap)
+
                 return (
-                    M1 * f, Y1 * f, M1s * f, X1s * f, Y1s * f,
-                    M2s * f, X2s * f, Y2s * f,
+                    rs(M1), rs(Y1), rs(M1s), rs(X1s), rs(Y1s),
+                    rs(M2s), rs(X2s), rs(Y2s),
                     acc * jnp.where(follow, PHMM_RESCALE_FACTOR, 1.0),
                     cmul * jnp.where(need & ~follow,
                                      1.0 / PHMM_RESCALE_FACTOR, 1.0),
