@@ -23,8 +23,12 @@ def bench_sw_point(length: int, num_alignments: int, unroll: int, backend: str,
                    trials: int = 3, seed: int = 0):
     """One sweep point: fixed-length random pairs, kernel-only timing
     (matches the reference's kernel-only elapsed, hipvers.cpp:475-483).
-    All trial launches are dispatched back-to-back and fenced once, so
-    per-call host/tunnel latency amortizes like a production pipeline."""
+    Short points pack SEVERAL copies of the workload into one dispatch
+    (batch_reps) and divide: at 64bp the kernel runs ~5 ms per 25k
+    pairs, far below the ~25 ms per-dispatch host/tunnel cost, so
+    back-to-back dispatch alone cannot amortize it — more work per
+    fence can (the headline bench does the same; the reference's
+    numbers are equally launch-free kernel-only timing)."""
     import jax.numpy as jnp
 
     from genomax.config import EngineConfig
@@ -33,9 +37,10 @@ def bench_sw_point(length: int, num_alignments: int, unroll: int, backend: str,
     from genomax.io.generator import random_dna
     from genomax.pack.bucketing import pack_sw_pairs
 
+    batch_reps = max(1, 1024 // max(length, 64))
     rng = np.random.default_rng(seed)
     pairs = []
-    for _ in range(num_alignments):
+    for _ in range(num_alignments * batch_reps):
         a = random_dna(rng, length) + b"\n"
         b = random_dna(rng, length) + b"\n"
         pairs.append(SWPair(sx=a, sy=b))
@@ -88,17 +93,17 @@ def bench_sw_point(length: int, num_alignments: int, unroll: int, backend: str,
 
     _ = [_force(r()) for r in runs]  # compile
     best = float("inf")
-    reps = 3  # sustained: several batches per fence, like a pipeline
     for _t in range(trials):
         t0 = time.perf_counter()
-        outs = [r() for r in runs for _rep in range(reps)]
+        outs = [r() for r in runs]
         for o in outs:
             _force(o)
-        best = min(best, (time.perf_counter() - t0) / reps)
+        best = min(best, (time.perf_counter() - t0) / batch_reps)
     cells = num_alignments * (length + 1) ** 2  # incl. '\n' lane, like the C
     return {
         "length": length,
         "unroll": unroll,
+        "batch_reps": batch_reps,
         "elapsed_ms": round(best * 1e3, 3),
         "gcups": round(cells / best / 1e9, 3),
     }

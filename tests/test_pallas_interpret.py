@@ -151,6 +151,35 @@ def test_sw_strips_kernel_interpret():
     np.testing.assert_array_equal(got, oracle.sw_scores_pairs(pairs))
 
 
+def test_sw_strips_kernel_scoring_configs():
+    """Non-default scoring params through the strip-mined kernel (the
+    lax-backend config fuzz never exercises this path)."""
+    from genomax.config import SWConfig
+    from genomax.kernels.sw_strips import run_bucket_strips
+    from genomax.pack.bucketing import pack_sw_pairs, unpack_scores
+
+    rng = np.random.default_rng(21)
+    abc = np.frombuffer(b"ATGC", np.uint8)
+    pairs = []
+    for _ in range(6):
+        a = rng.choice(abc, int(rng.integers(50, 80))).tobytes()
+        b = rng.choice(abc, int(rng.integers(50, 80))).tobytes()
+        if len(a) > len(b):
+            a, b = b, a
+        pairs.append(SWPair(sx=a, sy=b))
+    for cfg in (SWConfig(match=2, mismatch=-3, gap_open=0, gap_extend=-1),
+                SWConfig(match=3, mismatch=-2, gap_open=-7, gap_extend=-2)):
+        buckets = pack_sw_pairs(pairs)
+        res = [
+            np.asarray(run_bucket_strips(b, cfg=cfg, strip_w=24, unroll=8,
+                                         interpret=True))
+            for b in buckets
+        ]
+        got = unpack_scores(buckets, res, len(pairs))
+        np.testing.assert_array_equal(
+            got, oracle.sw_scores_pairs(pairs, cfg), err_msg=str(cfg))
+
+
 def test_engine_routes_long_pairs_to_strip_kernel():
     from genomax.config import EngineConfig
     from genomax.engine.executor import Engine as _E
