@@ -254,3 +254,35 @@ def test_engine_routes_long_reads_to_strip_kernel():
     assert e.last_stats.offloaded_jobs == 1
     want = oracle.pairhmm_batch_log10(batch)
     np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_sw_conveyor_kernel_interpret():
+    """The conveyor kernel (pairs chained through the sublane window
+    with period T) vs the oracle: ragged queues, tandem/identical/
+    all-mismatch adversaries, tiny pairs, non-default scoring. NOT
+    routed by the engine (measured slower than the resident kernel at
+    every length it targets — DESIGN.md §4), but kept correct."""
+    from genomax.config import SWConfig
+    from genomax.kernels.sw_conveyor import sw_scores_conveyor
+
+    rng = np.random.default_rng(3)
+    abc = np.frombuffer(b"ATGC", np.uint8)
+
+    def mk(lo, hi):
+        a = rng.choice(abc, int(rng.integers(lo, hi))).tobytes() + b"\n"
+        b = rng.choice(abc, int(rng.integers(lo, hi))).tobytes() + b"\n"
+        return SWPair(sx=a, sy=b) if len(a) <= len(b) else SWPair(sx=b, sy=a)
+
+    pairs = [mk(30, 50) for _ in range(40)]
+    x = rng.choice(abc, 30).tobytes()
+    pairs[3] = SWPair(sx=x, sy=x + b"TT" + x[:12])
+    pairs[11] = SWPair(sx=b"A" * 30, sy=b"T" * 40)
+    s = rng.choice(abc, 40).tobytes()
+    pairs[22] = SWPair(sx=s, sy=s)
+    pairs[33] = SWPair(sx=b"A", sy=b"ACGT")
+    got = sw_scores_conveyor(pairs, max_slots=3, interpret=True)
+    np.testing.assert_array_equal(got, oracle.sw_scores_pairs(pairs))
+
+    cfg = SWConfig(match=2, mismatch=-3, gap_open=0, gap_extend=-1)
+    got2 = sw_scores_conveyor(pairs, cfg=cfg, max_slots=2, interpret=True)
+    np.testing.assert_array_equal(got2, oracle.sw_scores_pairs(pairs, cfg))
