@@ -161,7 +161,12 @@ def _kernel(rchar_hbm, qual_hbm, hap_hbm, meta_ref, hM0, hX0, hY0, hC0,
         ii = iil + k * w  # global sublane row index
         dead = (ii == 0) | (ii > rl)
         pm = jnp.where(dead, 0.0, 1.0 - qr)
-        rn = rchar == _N_CODE
+        # read-'N' wildcard folded into qr; row-0 Y persistence via
+        # qg[0]=1 (see wavefront.PhmmConsts) — row 0 is global, so only
+        # strip 0 carries the boundary constant in its Y1 init.
+        qr = jnp.where(dead, 0.0,
+                       jnp.where(rchar == _N_CODE, 1.0 - qr, qr))
+        qg = jnp.where(ii == 0, 1.0, qg)
         rlmask = ii == rl
         y0 = (2.0**PHMM_INIT_LOG2) / jnp.maximum(hl, 1).astype(jnp.float32)
         y0row = jnp.where(ii == 0, y0, 0.0)
@@ -213,7 +218,8 @@ def _kernel(rchar_hbm, qual_hbm, hap_hbm, meta_ref, hM0, hX0, hY0, hC0,
         half = jnp.exp2(-40.0 * da)
         cmul = jnp.where(da < 3.0, half * half, 0.0)
 
-        st0 = (z, z, z, z, z, z, z, z, acc, cmul, cnt, acc_cnt)
+        st0 = (z, z + y0row, z, z, z, z, z, z, acc, z, cmul, cnt,
+               acc_cnt)
 
         def chunk_body(cc, st):
             ci = c0 + cc
@@ -229,8 +235,8 @@ def _kernel(rchar_hbm, qual_hbm, hap_hbm, meta_ref, hM0, hX0, hY0, hC0,
             # iteration (or the strip prologue for cc=0)
 
             def block(sb, st):
-                (M1, Y1, M1s, X1s, Y1s, M2s, X2s, Y2s, acc, cmul, cnt,
-                 acc_cnt) = st
+                (M1, Y1, M1s, X1s, Y1s, M2s, X2s, Y2s, acc, accb, cmul,
+                 cnt, acc_cnt) = st
                 # injected neighbor rows for this block, converted to
                 # the reader's frame (see module docstring)
                 hMb = hin[pl.ds(0 * CHUNK + sb * unroll, unroll), :]
@@ -259,13 +265,13 @@ def _kernel(rchar_hbm, qual_hbm, hap_hbm, meta_ref, hM0, hX0, hY0, hC0,
                     d = ci * CHUNK + sb * unroll + tt
                     off = CHUNK - sb * unroll - tt
                     syw = slab[pl.ds(slot * span + off, w), :]
-                    match = (rchar == syw) | rn | (syw == _N_CODE)
+                    match = (rchar == syw) | (syw == _N_CODE)
                     p = jnp.where(match, pm, qr)
                     Mn = p * (mmv * M2s + gapm * (X2s + Y2s))
                     Xn = M1s * qi + X1s * qg
-                    Yn = M1 * qd + Y1 * qg + y0row
+                    Yn = M1 * qd + Y1 * qg  # row-0 const via qg[0]=1
                     lmask = rlmask & (jnp.asarray(d, jnp.int32) <= rlhl)
-                    acc = acc + jnp.where(lmask, (Mn + Xn) * cmul, 0.0)
+                    accb = accb + jnp.where(lmask, Mn + Xn, 0.0)
                     ro = sb * unroll + tt
                     hout[pl.ds(0 * CHUNK + ro, 1), :] = Mn[w - 1 : w, :]
                     hout[pl.ds(1 * CHUNK + ro, 1), :] = Xn[w - 1 : w, :]
@@ -283,6 +289,8 @@ def _kernel(rchar_hbm, qual_hbm, hap_hbm, meta_ref, hM0, hX0, hY0, hC0,
                 # --- per-block exponent rescale (mirrors
                 # wavefront.phmm_rescale with global row indices and the
                 # count side-channel; same masked-peak math) ---
+                acc = acc + accb * cmul
+                accb = accb - accb  # fresh zeros, concrete layout
                 d = ci * CHUNK + (sb + 1) * unroll - 1
                 jv = d - ii
                 v0 = (ii <= rl) & (jv >= 0) & (jv <= hl)
@@ -334,6 +342,7 @@ def _kernel(rchar_hbm, qual_hbm, hap_hbm, meta_ref, hM0, hX0, hY0, hC0,
                     rs(M1), rs(Y1), rs(M1s), rs(X1s), rs(Y1s),
                     rs(M2s), rs(X2s), rs(Y2s),
                     acc * jnp.where(follow, PHMM_RESCALE_FACTOR, 1.0),
+                    accb,
                     cmul * jnp.where(need & ~follow,
                                      1.0 / PHMM_RESCALE_FACTOR, 1.0),
                     cnt + jnp.where(need, 1.0, 0.0),
@@ -357,7 +366,7 @@ def _kernel(rchar_hbm, qual_hbm, hap_hbm, meta_ref, hM0, hX0, hY0, hC0,
             return st
 
         st = jax.lax.fori_loop(0, sweep_chunks, chunk_body, st0)
-        return (st[8], st[11])
+        return (st[8], st[12])
 
     acc, acc_cnt = jax.lax.fori_loop(
         0, k_strips, strip_body, (z, zrow))

@@ -84,7 +84,8 @@ def _kernel(
 
     zscr[:] = jnp.zeros((nxs, LANES), jnp.float32)
     state = wavefront_sweep(
-        nd, phmm_make_state(zscr[:]), body, unroll=unroll, block_fn=block
+        nd, phmm_make_state(zscr[:], c.y0row), body, unroll=unroll,
+        block_fn=block
     )
     res = phmm_finalize(state).reshape(1, LANES)
     out_ref[:] = jnp.broadcast_to(res, out_ref.shape)
@@ -233,7 +234,7 @@ def _kernel_streamed(
         )
 
     state = jax.lax.fori_loop(
-        0, (n_chunks + 1) // 2, pair_body, phmm_make_state(zscr[:])
+        0, (n_chunks + 1) // 2, pair_body, phmm_make_state(zscr[:], c.y0row)
     )
     res = phmm_finalize(state).reshape(1, LANES)
     out_ref[:] = jnp.broadcast_to(res, out_ref.shape)

@@ -76,9 +76,10 @@ phmm_step). This supports >70 decimal orders of within-diagonal dynamic
 range and unbounded total range; the engine routes anything deeper to
 the native fp64 golden model (GKL-style fallback). PairHMM's boundary
 analysis mirrors SW's: M/X decay to exact zeros outside the matrix
-(pad positions carry qr=qi=qg=0 and guaranteed-mismatch codes), only the
-row-0 Y = 2**120/hap_len constant needs one select per step, and the
-accumulator mask bounds j <= hap_len.
+(pad positions carry qr=qi=qg=0 and guaranteed-mismatch codes), the
+row-0 Y = 2**120/hap_len constant persists from its state init through
+a qg[0]=1 const (PhmmConsts docstring), and the accumulator mask
+bounds j <= hap_len.
 """
 
 from __future__ import annotations
@@ -279,17 +280,29 @@ def sw_forward_dense(
 
 @dataclasses.dataclass(frozen=True)
 class PhmmConsts:
-    """Loop-invariant values, computed once per sweep."""
+    """Loop-invariant values, computed once per sweep.
+
+    Three emission/boundary folds keep the hot step at ~20 ops:
+      * read-'N' wildcard folded into qr (qr := pm at 'N' rows, so
+        both select branches agree and the per-step `| rn` disappears);
+      * qg := 1 at row 0, so the row-0 Y boundary constant PERSISTS
+        from its state init (Yn[0] = Y1[0]*1) instead of being re-added
+        every step (y0row holds the init values; the rescale can
+        multiply row-0 Y only after rows 0/1 leave the live window, at
+        which point only dead j>hap_len cells consume it — same
+        containment argument as before);
+      * the accumulator takes raw (Mn+Xn) contributions into a per-
+        block partial (cmul is constant within a block; phmm_rescale
+        folds partial*cmul once per block)."""
 
     rchar: Any  # (NXs, L) sublane-fixed read codes (sublane i = R[i-1])
-    pm: Any  # (NXs, L) 1 - Qr  (match emission)
-    qr: Any  # (NXs, L) Qr      (mismatch emission)
+    pm: Any  # (NXs, L) 1 - Qr  (match emission), 0 at row 0 / pad rows
+    qr: Any  # (NXs, L) Qr, with the 'N'-read and dead-row folds
     mmv: Any  # (NXs, L) 1 - (Qi + Qd)
     gapm: Any  # (NXs, L) 1 - Qg
     qi: Any
     qd: Any
-    qg: Any
-    rn: Any  # (NXs, L) bool: read base is 'N'
+    qg: Any  # 1 - at row 0 (Y persistence), packed Qg elsewhere
     row0: Any  # (NXs, L) bool: sublane 0
     rlmask: Any  # (NXs, L) bool: sublane == read_len (the result row)
     y0row: Any  # (NXs, L) f32: 2**120 / hap_len at sublane 0, 0 elsewhere
@@ -313,16 +326,16 @@ def phmm_make_consts(rchar, qr, mmv, gapm, qi, qd, qg, rl, hl, window,
     # bottom row into row 0, and 'N'-run haplotypes whose match-all
     # emission would otherwise make pad rows transparent (p = 1-qr = 1).
     dead = row0 | (ii > rl)
+    rn = rchar == _N_CODE
     return PhmmConsts(
         rchar=rchar,
         pm=jnp.where(dead, 0.0, 1.0 - qr),
-        qr=qr,
+        qr=jnp.where(dead, 0.0, jnp.where(rn, 1.0 - qr, qr)),
         mmv=mmv,
         gapm=gapm,
         qi=qi,
         qd=qd,
-        qg=qg,
-        rn=rchar == _N_CODE,
+        qg=jnp.where(row0, 1.0, qg),
         row0=row0,
         rlmask=ii == rl,
         y0row=jnp.where(row0, y0, 0.0),
@@ -335,16 +348,18 @@ def phmm_make_consts(rchar, qr, mmv, gapm, qi, qd, qg, rl, hl, window,
     )
 
 
-def phmm_make_state(z):
-    """(M1, Y1, M1s, X1s, Y1s, M2s, X2s, Y2s, acc, cmul, acc_log).
+def phmm_make_state(z, y0row):
+    """(M1, Y1, M1s, X1s, Y1s, M2s, X2s, Y2s, acc, accb, cmul, acc_log).
 
     M1/Y1 are the previous diagonal unshifted; *1s are its roll-by-one
     copies; *2s are the roll-by-one copies of the diagonal before it
     (carried forward — each step only rolls what it just computed).
-    z: (NXs, L) f32 zero template (see sw_make_state layout note).
-    """
+    Y1 initializes to the row-0 boundary constant, which then PERSISTS
+    through qg[0]=1 (PhmmConsts docstring). accb is the per-block raw
+    contribution partial. z: (NXs, L) f32 zero template (see
+    sw_make_state layout note)."""
     zc = z[0:1]
-    return (z, z, z, z, z, z, z, z, z, zc + 1.0, zc)
+    return (z, z + y0row, z, z, z, z, z, z, z, z, zc + 1.0, zc)
 
 
 def phmm_step(d, state, c: PhmmConsts):
@@ -373,17 +388,18 @@ def phmm_step(d, state, c: PhmmConsts):
     valid window (row-0 Y is pinned at 2**120/hl >= 2**106, far above
     the 2**40 trigger), and valid cells only consume in-window values.
     """
-    M1, Y1, M1s, X1s, Y1s, M2s, X2s, Y2s, acc, cmul, acc_log = state
+    M1, Y1, M1s, X1s, Y1s, M2s, X2s, Y2s, acc, accb, cmul, acc_log = state
 
     hw = c.window(d)
 
-    # emission p() (pairHMMmatrix.c:32-34)
-    match = (c.rchar == hw) | c.rn | (hw == _N_CODE)
+    # emission p() (pairHMMmatrix.c:32-34); the read-'N' wildcard is
+    # folded into the qr const (both branches agree there)
+    match = (c.rchar == hw) | (hw == _N_CODE)
     p = jnp.where(match, c.pm, c.qr)
 
     Mn = p * (c.mmv * M2s + c.gapm * (X2s + Y2s))
     Xn = M1s * c.qi + X1s * c.qg
-    Yn = M1 * c.qd + Y1 * c.qg + c.y0row
+    Yn = M1 * c.qd + Y1 * c.qg  # row-0 const persists via qg[0]=1
 
     # Last-row likelihood accumulation (antidiagsPairHMM.c:206-212): the
     # cell (read_len, j) lands at sublane rl exactly once per diagonal,
@@ -392,9 +408,11 @@ def phmm_step(d, state, c: PhmmConsts):
     # d <= rl+hl — a 1-row compare broadcast against the rl mask (the
     # only cell rlmask admits at diagonal d is j = d-rl, so j <= hl is
     # exactly d <= rl+hl); j <= 0 contributes exact zeros (col-0 zeros /
-    # untouched sublanes), so no lower-bound check is needed.
+    # untouched sublanes), so no lower-bound check is needed. Raw
+    # contributions collect in accb; phmm_rescale folds accb*cmul into
+    # acc once per block (cmul is constant within a block).
     lmask = c.rlmask & (jnp.asarray(d, jnp.int32) <= c.rlhl)
-    acc = acc + jnp.where(lmask, (Mn + Xn) * cmul, 0.0)
+    accb = accb + jnp.where(lmask, Mn + Xn, 0.0)
 
     return (
         Mn,
@@ -406,6 +424,7 @@ def phmm_step(d, state, c: PhmmConsts):
         X1s,
         Y1s,
         acc,
+        accb,
         cmul,
         acc_log,
     )
@@ -425,8 +444,14 @@ def phmm_rescale(state, d, c: PhmmConsts):
     boundary-free step leaves decaying-but-nonzero values at cells past
     a pair's haplotype end, which must not distort the peak), and the
     whole rescale is gated on the pair still having live diagonals
-    (d <= rl+hl+1), so finished pairs stop rescaling entirely."""
-    M1, Y1, M1s, X1s, Y1s, M2s, X2s, Y2s, acc, cmul, acc_log = state
+    (d <= rl+hl+1), so finished pairs stop rescaling entirely.
+
+    Also folds the block's raw contribution partial into the
+    accumulator (acc += accb * cmul, accb reset) BEFORE the follow
+    decision, so asum sees the up-to-date value."""
+    M1, Y1, M1s, X1s, Y1s, M2s, X2s, Y2s, acc, accb, cmul, acc_log = state
+    acc = acc + accb * cmul
+    accb = accb - accb  # fresh zeros with a concrete layout
     ii, rl, hl = c.ii, c.rl, c.hl
     jv = d - ii
     # window of the current diagonal d (cells (i, d-i))
@@ -470,6 +495,7 @@ def phmm_rescale(state, d, c: PhmmConsts):
         X2s * f,
         Y2s * f,
         acc * jnp.where(follow, PHMM_RESCALE_FACTOR, 1.0),
+        accb,
         cmul * jnp.where(need & ~follow, 1.0 / PHMM_RESCALE_FACTOR, 1.0),
         acc_log - jnp.where(follow, PHMM_RESCALE_LOG10, 0.0),
     )
@@ -477,8 +503,10 @@ def phmm_rescale(state, d, c: PhmmConsts):
 
 def phmm_finalize(state):
     """log10(sum of last-row M+X) minus the scaling constant
-    (pairHMMmatrix.c:59-66), exponent shifts folded back in."""
-    acc, acc_log = state[8], state[10]
+    (pairHMMmatrix.c:59-66), exponent shifts folded back in. accb is
+    always freshly-folded here (phmm_rescale runs after every block,
+    including the last)."""
+    acc, acc_log = state[8], state[11]
     total = jnp.sum(acc, axis=0, keepdims=True)
     return (jnp.log10(total) + acc_log - PHMM_INIT_LOG10)[0]
 
@@ -520,7 +548,7 @@ def phmm_forward_dense(
 
     z = jnp.zeros(qr.shape, jnp.float32)
     state = wavefront_sweep(
-        n_diags, phmm_make_state(z), body, unroll=rescale_period,
+        n_diags, phmm_make_state(z, c.y0row), body, unroll=rescale_period,
         block_fn=block,
     )
     return phmm_finalize(state)
