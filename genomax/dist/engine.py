@@ -101,8 +101,24 @@ class ShardedEngine:
         t0 = time.perf_counter()
 
         def dispatch(b):
+            # Same kernel routing as the local engine: mid/large buckets
+            # ride the strip-mined kernel inside shard_map.
+            strips = None
+            nyt = None
+            sxa = b.sx
+            if (self.backend == "pallas"
+                    and b.sy.shape[1] <= self.cfg.stream_vmem_rows
+                    and self.cfg.sw_strips
+                    and b.sx.shape[1] >= self.cfg.strips_min_nxs):
+                from genomax.kernels.sw_strips import prep_bucket_strips
+
+                prep = prep_bucket_strips(b)
+                if prep is not None:
+                    (sxa, _, _, nyt_arr), st = prep
+                    strips = (st["k_strips"], st["strip_w"], st["anchor"])
+                    nyt = nyt_arr
             return sw_forward_sharded(
-                self._put(b.sx),
+                self._put(sxa),
                 self._put(b.sy),
                 self._put(b.nx.reshape(-1, 128)).reshape(-1),
                 self._put(b.ny.reshape(-1, 128)).reshape(-1),
@@ -114,6 +130,8 @@ class ShardedEngine:
                 backend=self.backend,
                 interpret=self.interpret,
                 stream_vmem_rows=self.cfg.stream_vmem_rows,
+                strips=strips,
+                nyt_tile=None if nyt is None else self._put(nyt),
             )
 
         results = _run_buckets("sw-sharded", buckets, dispatch)

@@ -30,11 +30,11 @@ from genomax.engine.executor import flatten_tiles
     jax.jit,
     static_argnames=(
         "mesh", "n_diags", "cfg", "unroll", "backend", "interpret",
-        "stream_vmem_rows",
+        "stream_vmem_rows", "strips",
     ),
 )
 def sw_forward_sharded(
-    sx,  # (NT, NXs, 128)
+    sx,  # (NT, NXs, 128) — K*W rows when strips is set
     sy,  # (NT, NDs, 128)
     nx,
     ny,
@@ -47,28 +47,42 @@ def sw_forward_sharded(
     backend: str = "lax",
     interpret: bool = False,
     stream_vmem_rows: int = 6144,
+    strips: tuple | None = None,  # (k_strips, strip_w, anchor) from
+    # sw_strips.prep_bucket_strips; ny then carries the per-tile max-ny
+    nyt_tile=None,  # (NT,) int32 when strips is set
 ):
     """Batched SW over a device mesh. The tile dimension (and the per-tile
     diagonal counts) are sharded along the data axis; every chip returns
     its shard's (NT_local, 128) scores and the full tile batch is
     all-gathered. NT must divide by #devices. Long-stream buckets route
-    to the HBM-streamed kernel, like the single-chip engine."""
+    to the HBM-streamed kernel and mid/large buckets to the strip-mined
+    kernel, like the single-chip engine."""
 
-    def shard_fn(sx_s, sy_s, nx_s, ny_s, nd_s):
+    def shard_fn(sx_s, sy_s, nx_s, ny_s, nd_s, nyt_s):
         if backend == "pallas":
             from genomax.kernels.sw_pallas import (
                 sw_forward_pallas,
                 sw_forward_pallas_streamed,
             )
+            from genomax.kernels.sw_strips import sw_forward_pallas_strips
 
-            fn = (
-                sw_forward_pallas_streamed
-                if sy_s.shape[1] > stream_vmem_rows
-                else sw_forward_pallas
-            )
-            local = fn(
-                sx_s, sy_s, nd_s, cfg=cfg, unroll=unroll, interpret=interpret,
-            )
+            if strips is not None:
+                k_strips, strip_w, anchor = strips
+                local = sw_forward_pallas_strips(
+                    sx_s, sy_s, nd_s, nyt_s,
+                    k_strips=k_strips, strip_w=strip_w, anchor=anchor,
+                    cfg=cfg, unroll=unroll, interpret=interpret,
+                )
+            else:
+                fn = (
+                    sw_forward_pallas_streamed
+                    if sy_s.shape[1] > stream_vmem_rows
+                    else sw_forward_pallas
+                )
+                local = fn(
+                    sx_s, sy_s, nd_s, cfg=cfg, unroll=unroll,
+                    interpret=interpret,
+                )
         else:
             from genomax.kernels.wavefront import sw_forward_dense
 
@@ -80,9 +94,13 @@ def sw_forward_sharded(
         return jax.lax.all_gather(local, DATA_AXIS, tiled=True)
 
     spec = P(DATA_AXIS)
+    if nyt_tile is None:
+        import jax.numpy as jnp
+
+        nyt_tile = jnp.zeros_like(ndiag_tile)
     return shard_map_compat(
-        shard_fn, mesh, (spec, spec, spec, spec, spec), P()
-    )(sx, sy, nx, ny, ndiag_tile)
+        shard_fn, mesh, (spec, spec, spec, spec, spec, spec), P()
+    )(sx, sy, nx, ny, ndiag_tile, nyt_tile)
 
 
 @functools.partial(

@@ -172,6 +172,31 @@ def test_sharded_engine_feature_parity_mixed(mesh):
     np.testing.assert_allclose(dout, want, atol=2e-4)
 
 
+def test_sharded_engine_strips_routing_interpret(mesh):
+    """The sharded SW path routes mid-size buckets through the strip-
+    mined kernel inside shard_map, like the local engine (interpreted
+    Pallas on the CPU mesh)."""
+    from genomax.config import EngineConfig
+    from genomax.dist.engine import ShardedEngine
+
+    rng = np.random.default_rng(31)
+    abc = np.frombuffer(b"ATGC", np.uint8)
+    pairs = []
+    for _ in range(12):
+        a = rng.choice(abc, int(rng.integers(130, 180))).tobytes()
+        b = rng.choice(abc, int(rng.integers(130, 180))).tobytes()
+        if len(a) > len(b):
+            a, b = b, a
+        pairs.append(SWPair(sx=a, sy=b))
+    x = rng.choice(abc, 140).tobytes()
+    j = rng.choice(abc, 150).tobytes()
+    pairs.append(SWPair(sx=x, sy=x + j + x))  # strip-seam + wrap adversary
+    dist = ShardedEngine(mesh, EngineConfig(backend="pallas"),
+                         interpret=True)
+    got = dist.sw_scores(pairs)
+    np.testing.assert_array_equal(got, oracle.sw_scores_pairs(pairs))
+
+
 def test_sharded_engine_exactly_full_bucket(mesh):
     """Regression: pad_tiles_to must never pad perm/n_valid — a bucket of
     exactly 128 pairs (one full tile) used to crash unpack_scores."""
