@@ -62,17 +62,18 @@ def main():
     bucket = pack_sw_pairs(pairs)[0]
     log(f"pack: {time.time()-t0:.2f}s tiles={bucket.sx.shape}")
 
-    # Strip-mined kernel (sweeps only live diagonals; 135.9 vs 62.9
+    # Strip-mined kernel (sweeps only live diagonals; 135-160 vs 62.9
     # GCUPS at this point, kernels/sw_strips.py) with the resident
-    # kernel as fallback for tiny buckets. Arrays are placed on device
-    # once; timing is kernel-only like the reference's
-    # (hipvers.cpp:475-483).
+    # kernel as fallback for tiny buckets — the same routing predicate
+    # the engine uses. Arrays are placed on device once; timing is
+    # kernel-only like the reference's (hipvers.cpp:475-483).
+    from genomax.config import EngineConfig
     from genomax.kernels.sw_strips import (
-        prep_bucket_strips,
+        maybe_prep_strips,
         sw_forward_pallas_strips,
     )
 
-    prep = prep_bucket_strips(bucket)
+    prep = maybe_prep_strips(EngineConfig(), bucket)
     if prep is not None:
         (sxs, sys_, ndt, nyt), statics = prep
         dev = [jnp.asarray(x) for x in (sxs, sys_, ndt, nyt)]
@@ -94,12 +95,18 @@ def main():
     except Exception as e:
         # Stale persistent-cache executables after a TPU runtime restart
         # fail with FAILED_PRECONDITION at dispatch; purge + recompile
-        # (same self-heal as engine/_run_buckets).
-        from genomax.engine.executor import _purge_compilation_cache
+        # (same signature-gated self-heal as engine/_run_buckets).
+        from genomax.engine.executor import (
+            _cache_suspect,
+            _purge_compilation_cache,
+        )
 
-        log(f"first dispatch failed ({e!r}); purging compile cache, retrying")
-        _purge_compilation_cache()
-        res = np.asarray(run())
+        if _cache_suspect(e):
+            log(f"first dispatch failed ({e!r}); purging cache, retrying")
+            _purge_compilation_cache()
+            res = np.asarray(run())
+        else:
+            raise
     log(f"compile+first: {time.time()-t0:.1f}s")
     got = np.zeros(n * reps, np.int32)
     got[bucket.perm] = res.reshape(-1)[: bucket.n_valid]

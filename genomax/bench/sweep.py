@@ -53,18 +53,12 @@ def bench_sw_point(length: int, num_alignments: int, unroll: int, backend: str,
         if eng.backend == "pallas":
             from genomax.kernels.sw_pallas import sw_forward_pallas
             from genomax.kernels.sw_strips import (
-                prep_bucket_strips,
+                maybe_prep_strips,
                 sw_forward_pallas_strips,
             )
 
-            # Same routing as the engine: strip-mined kernel for
-            # buckets over the threshold, resident lane-tile below.
-            prep = (
-                prep_bucket_strips(b)
-                if eng.cfg.sw_strips
-                and b.sx.shape[1] >= eng.cfg.strips_min_nxs
-                else None
-            )
+            # Same routing as the engine (shared predicate).
+            prep = maybe_prep_strips(eng.cfg, b)
             if prep is not None:
                 (sxs, sys_, ndt, nyt), statics = prep
                 dev = tuple(jnp.asarray(x) for x in (sxs, sys_, ndt, nyt))

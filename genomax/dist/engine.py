@@ -106,13 +106,10 @@ class ShardedEngine:
             strips = None
             nyt = None
             sxa = b.sx
-            if (self.backend == "pallas"
-                    and b.sy.shape[1] <= self.cfg.stream_vmem_rows
-                    and self.cfg.sw_strips
-                    and b.sx.shape[1] >= self.cfg.strips_min_nxs):
-                from genomax.kernels.sw_strips import prep_bucket_strips
+            if self.backend == "pallas":
+                from genomax.kernels.sw_strips import maybe_prep_strips
 
-                prep = prep_bucket_strips(b)
+                prep = maybe_prep_strips(self.cfg, b)
                 if prep is not None:
                     (sxa, _, _, nyt_arr), st = prep
                     strips = (st["k_strips"], st["strip_w"], st["anchor"])

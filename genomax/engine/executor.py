@@ -38,6 +38,16 @@ class EngineError(RuntimeError):
         self.cause = cause
 
 
+def _cache_suspect(e: Exception) -> bool:
+    """True when an error looks like a stale persistent-cache
+    executable (TPU runtime restarted since it was serialized) rather
+    than a deterministic failure. Only these justify dropping the warm
+    cache — purging on e.g. a VMEM-overflow or trace error would
+    destroy every other shape's executable (~minutes of Mosaic
+    recompiles) right before an inevitable second failure."""
+    return "FAILED_PRECONDITION" in repr(e)
+
+
 def _purge_compilation_cache():
     """Recovery for stale persistent-cache executables: after a TPU
     runtime restart (observed across sessions under the axon tunnel),
@@ -75,8 +85,9 @@ def _run_buckets(stage, buckets, dispatch):
     for i, b in enumerate(buckets):
         try:
             pending.append((i, b, dispatch(b)))
-        except Exception:
-            _purge_compilation_cache()
+        except Exception as e0:
+            if _cache_suspect(e0):
+                _purge_compilation_cache()
             try:
                 pending.append((i, b, dispatch(b)))  # one retry
             except Exception as e:
@@ -85,8 +96,9 @@ def _run_buckets(stage, buckets, dispatch):
     for i, b, r in pending:
         try:
             results.append(np.asarray(r))
-        except Exception:
-            _purge_compilation_cache()
+        except Exception as e0:
+            if _cache_suspect(e0):
+                _purge_compilation_cache()
             try:
                 results.append(np.asarray(dispatch(b)))  # one retry
             except Exception as e:
@@ -208,29 +220,27 @@ class Engine:
             # slab-DMA'd; mid/large sublane windows route to the strip-
             # mined kernel (sweeps only live diagonals: ~2x at 512bp,
             # ~3.5x at 1024bp, see EngineConfig.sw_strips); the rest
-            # rides the VMEM-resident kernel.
-            if b.sy.shape[1] <= self.cfg.stream_vmem_rows and (
-                self.cfg.sw_strips
-                and b.sx.shape[1] >= self.cfg.strips_min_nxs
-            ):
-                from genomax.kernels.sw_strips import (
-                    prep_bucket_strips,
-                    sw_forward_pallas_strips,
-                )
+            # rides the VMEM-resident kernel. maybe_prep_strips is the
+            # single routing predicate shared with the sharded engine
+            # and the bench harnesses.
+            from genomax.kernels.sw_strips import (
+                maybe_prep_strips,
+                sw_forward_pallas_strips,
+            )
 
-                prep = prep_bucket_strips(b)
-                if prep is not None:
-                    (sx, sy, ndt, nyt), statics = prep
-                    return sw_forward_pallas_strips(
-                        jnp.asarray(sx),
-                        jnp.asarray(sy),
-                        jnp.asarray(ndt),
-                        jnp.asarray(nyt),
-                        cfg=self.sw_cfg,
-                        unroll=self.cfg.unroll,
-                        interpret=self.interpret,
-                        **statics,
-                    )
+            prep = maybe_prep_strips(self.cfg, b)
+            if prep is not None:
+                (sx, sy, ndt, nyt), statics = prep
+                return sw_forward_pallas_strips(
+                    jnp.asarray(sx),
+                    jnp.asarray(sy),
+                    jnp.asarray(ndt),
+                    jnp.asarray(nyt),
+                    cfg=self.sw_cfg,
+                    unroll=self.cfg.unroll,
+                    interpret=self.interpret,
+                    **statics,
+                )
             fn = (
                 sw_forward_pallas_streamed
                 if b.sy.shape[1] > self.cfg.stream_vmem_rows

@@ -382,7 +382,9 @@ def _kernel(rchar_hbm, qual_hbm, hap_hbm, meta_ref, hM0, hX0, hY0, hC0,
 )
 def pairhmm_forward_pallas_long(
     rchar: jax.Array,  # (K*W, 128) int8/int32
-    qual: jax.Array,  # (6, K*W, 128) f32: qr mmv gapm qi qd qg
+    qual: jax.Array,  # (6*K*W, 128) f32: six stacked (K*W, 128)
+    # blocks in order qr, mmv, gapm, qi, qd, qg (2-D so per-strip
+    # slices are plain row-range DMAs)
     hap: jax.Array,  # (NDt, 128) int8/int32 reversed stream
     meta: jax.Array,  # (8, 128) int32: row0 rl, row1 hl
     *,

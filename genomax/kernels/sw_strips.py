@@ -206,15 +206,25 @@ def sw_forward_pallas_strips(
     return out[::8]
 
 
+# Per-tile VMEM budget for the strips kernel (bytes): the 4 halo
+# buffers (2 slots x D/Q, ~anchor+W rows each) plus the int32 sx/sy
+# blocks must fit v5e's ~16 MB alongside the Pallas pipeline's double
+# buffering. Short-x/long-y buckets can satisfy the engine's
+# stream_vmem_rows gate yet blow this (e.g. 256-row x with a 5.9k-row
+# stream: halos alone ~11 MB), so the prep itself enforces it.
+STRIPS_VMEM_BUDGET = 10 * 1024 * 1024
+
+
 def prep_bucket_strips(bucket, strip_w: int | None = None):
     """Host-side prep for one SWPacked bucket: re-pad sx to K*W sublane
     rows (pad-code rows are inert), derive the per-tile max-ny array the
     kernel's sweep bound needs, and the static geometry. Returns
     (arrays, statics) for sw_forward_pallas_strips, or None when the
-    bucket is too small to strip (route to the resident kernel).
-    Kept separate from the dispatch so callers can place the arrays on
-    device ONCE and re-dispatch (a re-transfer of the packed buffers
-    costs seconds through the host tunnel)."""
+    bucket is too small to strip OR its VMEM footprint (halos + resident
+    stream) would not fit — callers fall back to the resident/streamed
+    kernels. Kept separate from the dispatch so callers can place the
+    arrays on device ONCE and re-dispatch (a re-transfer of the packed
+    buffers costs seconds through the host tunnel)."""
     nxs = bucket.sx.shape[1]
     nds = bucket.sy.shape[1]
     anchor = nds - nxs
@@ -224,6 +234,10 @@ def prep_bucket_strips(bucket, strip_w: int | None = None):
         if strip_w is None:
             return None
     k = -(-nxs // strip_w)
+    hs = _round_up(anchor + strip_w + 32, SUB_Q)
+    vmem = (4 * hs + 2 * (k * strip_w + nds)) * LANES * 4
+    if vmem > STRIPS_VMEM_BUDGET:
+        return None
     sx = bucket.sx
     if k * strip_w != nxs:
         pad = np.full((sx.shape[0], k * strip_w - nxs, LANES), PAD_X, sx.dtype)
@@ -231,6 +245,22 @@ def prep_bucket_strips(bucket, strip_w: int | None = None):
     arrays = (sx, bucket.sy, bucket.ndiag_tile, nyt)
     statics = dict(k_strips=k, strip_w=strip_w, anchor=anchor)
     return arrays, statics
+
+
+def maybe_prep_strips(cfg, bucket):
+    """THE routing predicate for the strip-mined kernel, shared by the
+    local engine, the sharded engine, and the bench harnesses (so the
+    gates cannot drift): requires cfg.sw_strips, a sublane window of at
+    least cfg.strips_min_nxs, a VMEM-resident stream buffer
+    (cfg.stream_vmem_rows), and a fitting VMEM footprint
+    (prep_bucket_strips). Returns prep-or-None."""
+    if not cfg.sw_strips:
+        return None
+    if bucket.sx.shape[1] < cfg.strips_min_nxs:
+        return None
+    if bucket.sy.shape[1] > cfg.stream_vmem_rows:
+        return None
+    return prep_bucket_strips(bucket)
 
 
 def run_bucket_strips(bucket, cfg: SWConfig = SWConfig(), strip_w: int | None = None,

@@ -139,3 +139,28 @@ def test_purge_compilation_cache_removes_dir(monkeypatch, tmp_path):
         assert not d.exists()
     finally:
         jax.config.update("jax_compilation_cache_dir", old)
+
+
+def test_strips_vmem_gate_short_x_long_y():
+    """Short-x/long-y buckets can pass the stream_vmem_rows gate while
+    the strips kernel's diagonal-indexed halo buffers (~anchor rows x4)
+    would blow VMEM; maybe_prep_strips must reject them so the engine
+    falls back to the resident kernel (round-2 self-review finding)."""
+    from genomax.io.formats import SWPair
+    from genomax.io.generator import random_dna
+    from genomax.kernels.sw_strips import maybe_prep_strips
+    from genomax.pack.bucketing import pack_sw_pairs
+
+    rng = np.random.default_rng(5)
+    pairs = [SWPair(sx=random_dna(rng, 250), sy=random_dna(rng, 5300))
+             for _ in range(4)]
+    b = pack_sw_pairs(pairs)[0]
+    cfg = EngineConfig()
+    assert b.sy.shape[1] <= cfg.stream_vmem_rows  # passes the old gate
+    assert b.sx.shape[1] >= cfg.strips_min_nxs
+    assert maybe_prep_strips(cfg, b) is None  # but not the VMEM budget
+    # and a mid-size bucket still routes to strips
+    pairs2 = [SWPair(sx=random_dna(rng, 500), sy=random_dna(rng, 500))
+              for _ in range(4)]
+    b2 = pack_sw_pairs(pairs2)[0]
+    assert maybe_prep_strips(cfg, b2) is not None
