@@ -52,6 +52,23 @@ def _build_engine(args):
         gap_open=args.gap_open,
         gap_extend=args.gap_extend,
     )
+    if getattr(args, "devices", None):
+        # Multi-chip/pod path from the CLI: mesh over the first N
+        # devices (virtual CPU devices fill in when the platform has
+        # fewer — exercising the same shard_map code a pod slice runs;
+        # see dist/mesh.make_mesh). Multi-host: start one process per
+        # host with --coordinator/--num-processes/--process-id.
+        from genomax.dist.engine import ShardedEngine
+        from genomax.dist.mesh import initialize_distributed, make_mesh
+
+        initialize_distributed(
+            getattr(args, "coordinator", None),
+            getattr(args, "num_processes", None),
+            getattr(args, "process_id", None),
+        )
+        mesh = make_mesh(args.devices)
+        return ShardedEngine(mesh, cfg, sw_cfg=sw_cfg,
+                             interpret=args.interpret)
     return Engine(cfg, sw_cfg=sw_cfg, interpret=args.interpret)
 
 
@@ -71,6 +88,14 @@ def _add_engine_args(p):
     p.add_argument("--profile", metavar="DIR",
                    help="capture a jax.profiler trace of the run into DIR "
                         "(view with tensorboard/xprof)")
+    p.add_argument("--devices", type=int, metavar="N",
+                   help="score over an N-device mesh (ShardedEngine; "
+                        "virtual CPU devices fill in when the platform "
+                        "has fewer)")
+    p.add_argument("--coordinator", metavar="HOST:PORT",
+                   help="multi-host: jax.distributed coordinator address")
+    p.add_argument("--num-processes", type=int)
+    p.add_argument("--process-id", type=int)
 
 
 def cmd_sw(args) -> int:

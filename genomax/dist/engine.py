@@ -53,6 +53,12 @@ class ShardedEngine:
         self.phmm_cfg = phmm_cfg
         self.interpret = interpret
         self.backend = cfg.resolve_backend()
+        # "auto" resolves from the DEFAULT platform, but the mesh may be
+        # the virtual-CPU fallback on a TPU host (make_mesh): compiled
+        # Pallas only runs where the mesh actually lives.
+        if (self.backend == "pallas" and not interpret
+                and mesh.devices.flat[0].platform != "tpu"):
+            self.backend = "lax"
         self.last_stats: RunStats | None = None
 
     def _put(self, arr):

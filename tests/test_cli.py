@@ -130,3 +130,21 @@ def test_bench_driver_contract_tiny(capsys):
     assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
     # interpret-mode GCUPS can round to 0.00; the contract is the shape
     assert rec["unit"] == "GCUPS" and rec["value"] >= 0
+
+
+def test_sw_devices_flag_sharded(tmp_path, capsys):
+    """--devices N routes through ShardedEngine over an N-device mesh
+    (virtual CPU devices here — the same shard_map code a pod runs)."""
+    from genomax.kernels import oracle
+    from genomax.io.formats import parse_sw_file
+
+    p = str(tmp_path / "in.txt")
+    main(["generate", p, "--num", "12", "--min-len", "20",
+          "--max-len", "30", "--seed", "3"])
+    capsys.readouterr()
+    rc = main(["sw", p, "--backend", "lax", "--devices", "2", "--stats"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    scores = [int(line.split()[1]) for line in out if line.startswith("Score:")]
+    want = oracle.sw_scores_pairs(parse_sw_file(p))
+    np.testing.assert_array_equal(np.array(scores), want)
