@@ -88,6 +88,11 @@ def _add_engine_args(p):
     p.add_argument("--profile", metavar="DIR",
                    help="capture a jax.profiler trace of the run into DIR "
                         "(view with tensorboard/xprof)")
+    p.add_argument("--chunk", type=int, metavar="N",
+                   help="stream the workload in chunks of N pairs "
+                        "(sw) / N batches (pairhmm), host packing "
+                        "overlapped with device execution "
+                        "(engine/stream.py; local engine only)")
     p.add_argument("--devices", type=int, metavar="N",
                    help="score over an N-device mesh (ShardedEngine; "
                         "virtual CPU devices fill in when the platform "
@@ -102,10 +107,14 @@ def cmd_sw(args) -> int:
     from genomax.io.formats import parse_sw_file
 
     eng = _build_engine(args)
+    if getattr(args, "chunk", None) and getattr(args, "devices", None):
+        raise ValueError("--chunk streams through the local engine; "
+                         "it cannot be combined with --devices")
     pairs = parse_sw_file(args.input)
     t0 = time.time()
     with _maybe_profile(args):
-        scores = eng.sw_scores(pairs)
+        scores = (eng.sw_scores_stream(pairs, args.chunk)
+                  if getattr(args, "chunk", None) else eng.sw_scores(pairs))
     elapsed = time.time() - t0
     lines = "".join("Score: %d\n" % s for s in scores)
     if args.output:
@@ -126,9 +135,13 @@ def cmd_pairhmm(args) -> int:
     batches = parse_pairhmm_file(args.input)
     if args.resume:
         return _pairhmm_resumable(args, eng, batches)
+    if getattr(args, "chunk", None) and getattr(args, "devices", None):
+        raise ValueError("--chunk streams through the local engine; "
+                         "it cannot be combined with --devices")
     t0 = time.time()
     with _maybe_profile(args):
-        values = eng.pairhmm(batches)
+        values = (eng.pairhmm_stream(batches, args.chunk)
+                  if getattr(args, "chunk", None) else eng.pairhmm(batches))
     elapsed = time.time() - t0
     write_pairhmm_output(args.output, values)
     print("elapsed %f" % elapsed)

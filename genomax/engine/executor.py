@@ -339,7 +339,7 @@ class Engine:
             out[nidx] = native.sw_scores_native(
                 [pairs[i] for i in nidx], self.sw_cfg
             )
-        stats.offloaded_jobs = len(idx)
+        stats.offloaded_jobs += len(idx)
 
     def sw_scores_file(self, path: str) -> np.ndarray:
         from genomax.io.formats import parse_sw_file
@@ -448,7 +448,7 @@ class Engine:
         if off is None:
             return out, None
         idx = np.nonzero(off)[0]
-        stats.offloaded_jobs = len(idx)
+        stats.offloaded_jobs += len(idx)
         jobs = []
         j = 0
         want = set(int(i) for i in idx)
@@ -522,10 +522,26 @@ class Engine:
 
         if not native.available():
             return out
-        stats.fallback_jobs = int(mask.sum())
+        stats.fallback_jobs += int(mask.sum())
         return self._phmm_native_subset(batches, out, np.nonzero(mask)[0])
 
     def pairhmm_file(self, path: str) -> np.ndarray:
         from genomax.io.formats import parse_pairhmm_file
 
         return self.pairhmm(parse_pairhmm_file(path))
+
+    # -- Streaming (chunked, pack/execute overlapped) ---------------------
+
+    def sw_scores_stream(self, pairs, chunk_pairs: int = 65536) -> np.ndarray:
+        """sw_scores over chunks with host packing overlapped against
+        device execution (engine/stream.py) — bounded host memory and
+        pipeline throughput on large workloads."""
+        from genomax.engine.stream import sw_scores_stream
+
+        return sw_scores_stream(self, pairs, chunk_pairs)
+
+    def pairhmm_stream(self, batches, chunk_batches: int = 64) -> np.ndarray:
+        """pairhmm over chunks of batches with pack/execute overlap."""
+        from genomax.engine.stream import pairhmm_stream
+
+        return pairhmm_stream(self, batches, chunk_batches)
