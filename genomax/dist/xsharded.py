@@ -56,6 +56,7 @@ from genomax.pack.bucketing import (
     PAD_STREAM,
     PAD_X,
     SUB_Q,
+    _reject_pad_codes,
     _round_up,
 )
 
@@ -159,6 +160,8 @@ def pack_sw_xsharded(pairs, n_devices: int, unroll: int = 16) -> SWXPacked:
     nx = np.ones(LANES, np.int32)
     ny = np.ones(LANES, np.int32)
     for l, p in enumerate(pairs):
+        _reject_pad_codes(np.frombuffer(p.sx, np.uint8), "sx")
+        _reject_pad_codes(np.frombuffer(p.sy, np.uint8), "sy")
         sx[1 : len(p.sx) + 1, l] = np.frombuffer(p.sx, np.uint8)
         sy[anchor - len(p.sy) : anchor, l] = np.frombuffer(p.sy, np.uint8)[::-1]
         nx[l] = len(p.sx) + 1

@@ -74,6 +74,7 @@ from genomax.pack.bucketing import (
     PAD_STREAM,
     PAD_X,
     SUB_Q,
+    _reject_pad_codes,
     _round_up,
 )
 
@@ -102,6 +103,8 @@ def pack_pairhmm_long(jobs, phred_offset: float = 33.0, strip_w: int = STRIP_W):
     kw = k * w
     for l, (rd, h) in enumerate(jobs):
         L = len(rd.bases)
+        _reject_pad_codes(np.frombuffer(rd.bases, np.uint8), "read bases")
+        _reject_pad_codes(np.frombuffer(h, np.uint8), "haplotype")
         rchar[1 : L + 1, l] = np.frombuffer(rd.bases, np.uint8)
         qr = phred_to_error_prob(np.frombuffer(rd.base_q, np.uint8), phred_offset)
         qi = phred_to_error_prob(np.frombuffer(rd.ins_q, np.uint8), phred_offset)

@@ -57,7 +57,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from genomax.config import SWConfig
 from genomax.kernels.wavefront import KILL
-from genomax.pack.bucketing import LANES, PAD_STREAM, PAD_X, _round_up
+from genomax.pack.bucketing import (LANES, PAD_STREAM, PAD_X,
+                                    _reject_pad_codes, _round_up)
 
 UNROLL = 8  # block length; T is rounded to it so period boundaries are
 # block-aligned (at static in-block step 1)

@@ -31,7 +31,8 @@ __syncthreads barriers, smithWaterman.cu:283-344 / pairHMM.cu:274-343):
 SW int semantics: the reference's -infinity is INT_MIN with a saturating
 add (antidiagonalSmithWaterman.c:38,86-88). Here the boundary conditions
 are not even materialized: the packing's pad codes (x pads with 1, the
-stream with 2 — never equal to each other or to any real base / '\\n')
+stream with 0 — never equal to each other or to any real base / '\\n';
+0 also makes the big stream buffers calloc-free to allocate)
 guarantee every out-of-matrix cell mismatches, so D decays to 0, P/Q
 decay to small negatives, and the recurrences applied uniformly over the
 full (NXs, 128) tile — boundaries, pads, ragged lanes and all — produce
@@ -103,9 +104,10 @@ _N_CODE = ord("N")
 
 # Pairs per tile: the VPU lane width. Fixed by hardware.
 LANES = 128
-# Pad codes (see module docstring): x-axis pads with 1, stream with 2.
+# Pad codes (see module docstring): x-axis pads with 1, stream with 0
+# (zero-filled stream buffers come straight from calloc pages).
 PAD_X = 1
-PAD_STREAM = 2
+PAD_STREAM = 0
 # Boundary-row kill constant (module docstring): dominates any real score
 # chain yet keeps int32 adds far from wrapping.
 KILL = 1 << 28

@@ -42,11 +42,27 @@ MAX_UNROLL = 32
 STREAM_CHUNK = 256
 
 PAD_X = 1
-PAD_STREAM = 2
+PAD_STREAM = 0
 
 
 def _round_up(x: int, q: int) -> int:
     return max(q, ((x + q - 1) // q) * q)
+
+
+def _reject_pad_codes(data: np.ndarray, what: str) -> None:
+    """Sequences must not contain the pad byte values (0 and 1): the
+    mask-free kernels rely on pads mismatching every real code. The
+    reference's own strlen-based parsing cannot produce such bytes
+    inside a sequence (NUL terminates the line, SOH never appears in
+    text), so this only fires on corrupt/non-reference inputs — loudly,
+    instead of silently mis-scoring. One min() pass; real code bytes
+    are ASCII >= 10."""
+    if data.size and int(data.min()) <= max(PAD_X, PAD_STREAM):
+        bad = int(data[(data == PAD_X) | (data == PAD_STREAM)][0])
+        raise ValueError(
+            f"{what} contains reserved byte {bad!r}: sequence bytes 0 and 1 "
+            f"are pad codes (cannot appear in reference-format inputs)"
+        )
 
 
 # ~x1.41 padding ladder (one octave), anchored so the common 512bp+"\n"
@@ -90,7 +106,7 @@ class SWPacked:
     sx   : (NT, NXs, 128) int8 — sublane-fixed codes (widened to
            int32 on device — 4x less host->device traffic), sublane p of lane
            l holds that pair's sx[p-1]; out-of-range cells pad with code
-           1 (the stream pads with 2, so padded cells always mismatch and
+           1 (the stream pads with 0, so padded cells always mismatch and
            the kernels need no length or boundary masks at all)
     sy   : (NT, NDs, 128) int8 — the REVERSED diagonal stream: sublane
            NDs-2-k holds sy[k]. The window the kernel loads at diagonal d
@@ -196,15 +212,6 @@ def _full(shape, fill, dtype):
     return a
 
 
-def _to_tiles(flat: np.ndarray) -> np.ndarray:
-    """(NT*128, NXs) row-major slots -> (NT, NXs, 128) sublane-major.
-    Copy into calloc'd pages (see _full)."""
-    nt = flat.shape[0] // LANES
-    out = np.zeros((nt, flat.shape[1], LANES), flat.dtype)
-    np.copyto(out, flat.reshape(nt, LANES, -1).swapaxes(1, 2))
-    return out
-
-
 def pack_sw_pairs(pairs, job_mask=None) -> list[SWPacked]:
     """Bucket and pack SWPair jobs. Sequences are raw bytes (the '\\n'
     quirk is preserved upstream by the parser: a trailing newline byte is
@@ -233,6 +240,8 @@ def pack_sw_pairs(pairs, job_mask=None) -> list[SWPacked]:
             [p.sx if keep(i) else b"" for i, p in enumerate(pairs)])
         sy_data, sy_off = native._concat_with_offsets(
             [p.sy if keep(i) else b"" for i, p in enumerate(pairs)])
+        _reject_pad_codes(sx_data[: sx_off[-1]], "sx")
+        _reject_pad_codes(sy_data[: sy_off[-1]], "sy")
     # Bucket by the x (sublane) level only — see pack_pairhmm_batches.
     nxq = np.array([_level(int(l) + 2) for l in sx_len])
     if job_mask is not None:
@@ -259,8 +268,13 @@ def pack_sw_pairs(pairs, job_mask=None) -> list[SWPacked]:
         anchor = _round_up(int(ndiags.max()) + MAX_UNROLL, STREAM_CHUNK)
         nds = anchor + nxs
 
-        sx = _full((slots, nxs), PAD_X, np.int8)
-        sy = _full((slots, nds), PAD_STREAM, np.int8)
+        # Tile layout (NT, rows, 128) written DIRECTLY (the native fill
+        # does strided lane stores that stay L2-resident per tile slab;
+        # a slot-major fill + numpy transposed copy measured 10.6 s at
+        # 400k pairs). PAD_STREAM is 0, so the big stream buffer comes
+        # straight off calloc pages.
+        sx = _full((nt, nxs, LANES), PAD_X, np.int8)
+        sy = _full((nt, nds, LANES), PAD_STREAM, np.int8)
         nx = np.ones(slots, dtype=np.int32)
         ny = np.ones(slots, dtype=np.int32)
         if lib is not None:
@@ -272,9 +286,12 @@ def pack_sw_pairs(pairs, job_mask=None) -> list[SWPacked]:
         else:
             for r, gi in enumerate(idx):
                 p = pairs[gi]
-                sx[r, 1 : len(p.sx) + 1] = np.frombuffer(p.sx, np.uint8)
+                t, lane = divmod(r, LANES)
+                _reject_pad_codes(np.frombuffer(p.sx, np.uint8), "sx")
+                _reject_pad_codes(np.frombuffer(p.sy, np.uint8), "sy")
+                sx[t, 1 : len(p.sx) + 1, lane] = np.frombuffer(p.sx, np.uint8)
                 # reversed stream: buf[anchor-1-k] holds sy[k]
-                sy[r, anchor - len(p.sy) : anchor] = np.frombuffer(
+                sy[t, anchor - len(p.sy) : anchor, lane] = np.frombuffer(
                     p.sy, np.uint8
                 )[::-1]
                 nx[r] = len(p.sx) + 1
@@ -283,8 +300,8 @@ def pack_sw_pairs(pairs, job_mask=None) -> list[SWPacked]:
         ndiag[len(idx):] = 1
         out.append(
             SWPacked(
-                sx=_to_tiles(sx),
-                sy=_to_tiles(sy),
+                sx=sx,
+                sy=sy,
                 nx=nx,
                 ny=ny,
                 ndiag_tile=_tile_ndiags(ndiag),
@@ -364,11 +381,13 @@ def pack_pairhmm_batches(
     if lib is not None:
         rd_data, rd_off = native._concat_with_offsets(
             [r[0] for r in raw_reads])
+        _reject_pad_codes(rd_data[: rd_off[-1]], "read bases")
         bq_data, _ = native._concat_with_offsets([r[1] for r in raw_reads])
         iq_data, _ = native._concat_with_offsets([r[2] for r in raw_reads])
         dq_data, _ = native._concat_with_offsets([r[3] for r in raw_reads])
         gq_data, _ = native._concat_with_offsets([r[4] for r in raw_reads])
         hp_data, hp_off = native._concat_with_offsets(haps)
+        _reject_pad_codes(hp_data[: hp_off[-1]], "haplotype")
     # Bucket by the read (sublane) level only: the haplotype length only
     # sizes the per-bucket stream buffer and each tile's sweep bound
     # (tiles are sorted by diagonal count), so splitting on it would just
@@ -393,14 +412,15 @@ def pack_pairhmm_batches(
         )
         nds = anchor + nxs
 
-        rchar = _full((slots, nxs), PAD_X, np.int8)
-        qr = np.zeros((slots, nxs), dtype=np.float32)
-        mmv = np.zeros((slots, nxs), dtype=np.float32)
-        gapm = np.zeros((slots, nxs), dtype=np.float32)
-        qi = np.zeros((slots, nxs), dtype=np.float32)
-        qd = np.zeros((slots, nxs), dtype=np.float32)
-        qg = np.zeros((slots, nxs), dtype=np.float32)
-        hap = _full((slots, nds), PAD_STREAM, np.int8)
+        # Tile layout written directly (see pack_sw_pairs).
+        rchar = _full((nt, nxs, LANES), PAD_X, np.int8)
+        qr = np.zeros((nt, nxs, LANES), dtype=np.float32)
+        mmv = np.zeros((nt, nxs, LANES), dtype=np.float32)
+        gapm = np.zeros((nt, nxs, LANES), dtype=np.float32)
+        qi = np.zeros((nt, nxs, LANES), dtype=np.float32)
+        qd = np.zeros((nt, nxs, LANES), dtype=np.float32)
+        qg = np.zeros((nt, nxs, LANES), dtype=np.float32)
+        hap = _full((nt, nds, LANES), PAD_STREAM, np.int8)
         rl = np.zeros(slots, dtype=np.int32)
         hl = np.ones(slots, dtype=np.int32)
         if lib is not None:
@@ -416,34 +436,37 @@ def pack_pairhmm_batches(
             idx_fill = enumerate(idx)
         for r, gi in idx_fill:
             bases, Qr, Qi, Qd, Qg = reads[jobs_r[gi]]
+            _reject_pad_codes(bases, "read bases")
+            _reject_pad_codes(haps[jobs_h[gi]], "haplotype")
             L = len(bases)
-            rchar[r, 1 : L + 1] = bases
-            qr[r, 1 : L + 1] = Qr
-            mmv[r, 1 : L + 1] = 1.0 - (Qi + Qd)
-            gapm[r, 1 : L + 1] = 1.0 - Qg
-            qi[r, 1 : L + 1] = Qi
-            qd[r, 1 : L + 1] = Qd
-            qg[r, 1 : L + 1] = Qg
+            t, lane = divmod(r, LANES)
+            rchar[t, 1 : L + 1, lane] = bases
+            qr[t, 1 : L + 1, lane] = Qr
+            mmv[t, 1 : L + 1, lane] = 1.0 - (Qi + Qd)
+            gapm[t, 1 : L + 1, lane] = 1.0 - Qg
+            qi[t, 1 : L + 1, lane] = Qi
+            qd[t, 1 : L + 1, lane] = Qd
+            qg[t, 1 : L + 1, lane] = Qg
             h = haps[jobs_h[gi]]
-            hap[r, anchor - len(h) : anchor] = h[::-1]
+            hap[t, anchor - len(h) : anchor, lane] = h[::-1]
             rl[r] = L
             hl[r] = len(h)
         ndiag = (rl.astype(np.int64) + hl + 1).astype(np.int32)
         ndiag[len(idx):] = 1
-        meta = np.zeros((slots, 8), dtype=np.int32)
-        meta[:, 0] = rl
-        meta[:, 1] = hl
+        meta = np.zeros((nt, 8, LANES), dtype=np.int32)
+        meta[:, 0, :] = rl.reshape(nt, LANES)
+        meta[:, 1, :] = hl.reshape(nt, LANES)
         out.append(
             PairHMMPacked(
-                rchar=_to_tiles(rchar),
-                qr=_to_tiles(qr),
-                mmv=_to_tiles(mmv),
-                gapm=_to_tiles(gapm),
-                qi=_to_tiles(qi),
-                qd=_to_tiles(qd),
-                qg=_to_tiles(qg),
-                hap=_to_tiles(hap),
-                meta=_to_tiles(meta),
+                rchar=rchar,
+                qr=qr,
+                mmv=mmv,
+                gapm=gapm,
+                qi=qi,
+                qd=qd,
+                qg=qg,
+                hap=hap,
+                meta=meta,
                 rl=rl,
                 hl=hl,
                 ndiag_tile=_tile_ndiags(ndiag),

@@ -70,7 +70,8 @@ def test_oversized_pairs_offload_to_native():
     long_a = rng.choice(list(b"ATGC"), size=3000).astype(np.uint8).tobytes()
     long_b = rng.choice(list(b"ATGC"), size=3100).astype(np.uint8).tobytes()
     short = [
-        SWPair(sx=bytes(rng.choice(list(b"ATGC"), 20)), sy=bytes(rng.choice(list(b"ATGC"), 25)))
+        SWPair(sx=rng.choice(list(b"ATGC"), 20).astype(np.uint8).tobytes(),
+               sy=rng.choice(list(b"ATGC"), 25).astype(np.uint8).tobytes())
         for _ in range(3)
     ]
     pairs = [short[0], SWPair(sx=long_a, sy=long_b), short[1], short[2]]
