@@ -52,6 +52,9 @@ def _build_engine(args):
         gap_open=args.gap_open,
         gap_extend=args.gap_extend,
     )
+    if getattr(args, "chunk", None) and getattr(args, "devices", None):
+        raise ValueError("--chunk streams through the local engine; "
+                         "it cannot be combined with --devices")
     if getattr(args, "devices", None):
         # Multi-chip/pod path from the CLI: mesh over the first N
         # devices (virtual CPU devices fill in when the platform has
@@ -107,14 +110,11 @@ def cmd_sw(args) -> int:
     from genomax.io.formats import parse_sw_file
 
     eng = _build_engine(args)
-    if getattr(args, "chunk", None) and getattr(args, "devices", None):
-        raise ValueError("--chunk streams through the local engine; "
-                         "it cannot be combined with --devices")
     pairs = parse_sw_file(args.input)
     t0 = time.time()
     with _maybe_profile(args):
         scores = (eng.sw_scores_stream(pairs, args.chunk)
-                  if getattr(args, "chunk", None) else eng.sw_scores(pairs))
+                  if args.chunk else eng.sw_scores(pairs))
     elapsed = time.time() - t0
     lines = "".join("Score: %d\n" % s for s in scores)
     if args.output:
@@ -135,13 +135,10 @@ def cmd_pairhmm(args) -> int:
     batches = parse_pairhmm_file(args.input)
     if args.resume:
         return _pairhmm_resumable(args, eng, batches)
-    if getattr(args, "chunk", None) and getattr(args, "devices", None):
-        raise ValueError("--chunk streams through the local engine; "
-                         "it cannot be combined with --devices")
     t0 = time.time()
     with _maybe_profile(args):
         values = (eng.pairhmm_stream(batches, args.chunk)
-                  if getattr(args, "chunk", None) else eng.pairhmm(batches))
+                  if args.chunk else eng.pairhmm(batches))
     elapsed = time.time() - t0
     write_pairhmm_output(args.output, values)
     print("elapsed %f" % elapsed)

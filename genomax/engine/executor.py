@@ -175,6 +175,24 @@ def _phmm_dense_jit(*args, **kw):
     return _DENSE_JITS[1](*args, **kw)
 
 
+def sw_bucket_stats(stats, buckets):
+    """Accumulate dp/padded cell counts for SW buckets (shared by the
+    one-shot engine and the streaming driver)."""
+    for b in buckets:
+        stats.dp_cells += int(((b.nx - 1).astype(np.int64) * (b.ny - 1)).sum())
+        stats.padded_cells += int(b.sx.shape[1]) * 128 * int(
+            b.ndiag_tile.astype(np.int64).sum()
+        )
+
+
+def phmm_bucket_stats(stats, buckets):
+    for b in buckets:
+        stats.dp_cells += int((b.rl.astype(np.int64) * b.hl).sum())
+        stats.padded_cells += int(b.rchar.shape[1]) * 128 * int(
+            b.ndiag_tile.astype(np.int64).sum()
+        )
+
+
 def flatten_tiles(x):
     """(NT, R, 128) sublane-major tiles -> (R, NT*128) dense batch (the
     lax twin's layout: positions on axis 0, all pairs on axis 1).
@@ -282,11 +300,7 @@ class Engine:
         )
         stats.pack_s = time.perf_counter() - t0
         stats.buckets = len(buckets)
-        for b in buckets:
-            stats.dp_cells += int(((b.nx - 1).astype(np.int64) * (b.ny - 1)).sum())
-            stats.padded_cells += int(b.sx.shape[1]) * 128 * int(
-                b.ndiag_tile.astype(np.int64).sum()
-            )
+        sw_bucket_stats(stats, buckets)
         t0 = time.perf_counter()
         # Dispatch all buckets asynchronously, fence once (latency
         # overlaps device execution); retry/diagnostics in _run_buckets.
@@ -421,11 +435,7 @@ class Engine:
         stats.pack_s = time.perf_counter() - t0
         stats.n_jobs = n
         stats.buckets = len(buckets)
-        for b in buckets:
-            stats.dp_cells += int((b.rl.astype(np.int64) * b.hl).sum())
-            stats.padded_cells += int(b.rchar.shape[1]) * 128 * int(
-                b.ndiag_tile.astype(np.int64).sum()
-            )
+        phmm_bucket_stats(stats, buckets)
         t0 = time.perf_counter()
         results = _run_buckets("pairhmm", buckets, self._phmm_bucket)
         stats.exec_s = time.perf_counter() - t0

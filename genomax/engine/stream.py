@@ -31,7 +31,9 @@ from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
-from genomax.engine.executor import RunStats, _run_buckets, unpack_scores
+from genomax.engine.executor import (RunStats, _run_buckets,
+                                     phmm_bucket_stats, sw_bucket_stats,
+                                     unpack_scores)
 from genomax.pack.bucketing import pack_pairhmm_batches, pack_sw_pairs
 
 
@@ -63,11 +65,7 @@ def sw_scores_stream(engine, pairs, chunk_pairs: int = 65536) -> np.ndarray:
             if i + 1 < len(spans):
                 fut = pool.submit(prep, spans[i + 1])
             stats.buckets += len(buckets)
-            for b in buckets:
-                stats.dp_cells += int(
-                    ((b.nx - 1).astype(np.int64) * (b.ny - 1)).sum())
-                stats.padded_cells += int(b.sx.shape[1]) * 128 * int(
-                    b.ndiag_tile.astype(np.int64).sum())
+            sw_bucket_stats(stats, buckets)
             results = _run_buckets("sw-stream", buckets, engine._sw_bucket)
             part = unpack_scores(buckets, results, len(chunk), np.int32)
             engine._sw_offload_post(chunk, part, off, stats)
@@ -107,10 +105,7 @@ def pairhmm_stream(engine, batches, chunk_batches: int = 64) -> np.ndarray:
                 fut = pool.submit(prep, spans[i + 1])
             stats.n_jobs += n
             stats.buckets += len(buckets)
-            for b in buckets:
-                stats.dp_cells += int((b.rl.astype(np.int64) * b.hl).sum())
-                stats.padded_cells += int(b.rchar.shape[1]) * 128 * int(
-                    b.ndiag_tile.astype(np.int64).sum())
+            phmm_bucket_stats(stats, buckets)
             results = _run_buckets(
                 "pairhmm-stream", buckets, engine._phmm_bucket)
             part = unpack_scores(buckets, results, n, np.float32)

@@ -142,7 +142,6 @@ def _kernel(sched_ref, sy_ref, out_ref, zscr, *, cfg: SWConfig, nxs: int,
 
     zscr[:] = jnp.zeros((nxs, LANES), jnp.int32)
     z = zscr[:]
-    zrow = z[0:1]
     ii = jax.lax.broadcasted_iota(jnp.int32, (nxs, LANES), 0)
     row0 = ii == 0
     rowl = ii == nxs - 1
