@@ -39,7 +39,7 @@ def _maybe_profile(args):
 
 
 def _build_engine(args):
-    from genomax.config import EngineConfig, SWConfig
+    from genomax.config import EngineConfig, PairHMMConfig, SWConfig
     from genomax.engine.executor import Engine
 
     cfg = EngineConfig(
@@ -51,6 +51,9 @@ def _build_engine(args):
         mismatch=args.mismatch,
         gap_open=args.gap_open,
         gap_extend=args.gap_extend,
+    )
+    phmm_cfg = PairHMMConfig(
+        gatk_emission=getattr(args, "gatk_emission", False),
     )
     if getattr(args, "chunk", None) and getattr(args, "devices", None):
         raise ValueError("--chunk streams through the local engine; "
@@ -70,9 +73,10 @@ def _build_engine(args):
             getattr(args, "process_id", None),
         )
         mesh = make_mesh(args.devices)
-        return ShardedEngine(mesh, cfg, sw_cfg=sw_cfg,
+        return ShardedEngine(mesh, cfg, sw_cfg=sw_cfg, phmm_cfg=phmm_cfg,
                              interpret=args.interpret)
-    return Engine(cfg, sw_cfg=sw_cfg, interpret=args.interpret)
+    return Engine(cfg, sw_cfg=sw_cfg, phmm_cfg=phmm_cfg,
+                  interpret=args.interpret)
 
 
 def _add_engine_args(p):
@@ -87,6 +91,11 @@ def _add_engine_args(p):
     p.add_argument("--mismatch", type=int, default=-1)
     p.add_argument("--gap-open", type=int, default=-3)
     p.add_argument("--gap-extend", type=int, default=-1)
+    p.add_argument("--gatk-emission", action="store_true",
+                   help="use the true GATK mismatch emission Qr/3 instead "
+                        "of the reference's plain Qr "
+                        "(PairHMMConfig.gatk_emission; changes PairHMM "
+                        "outputs vs the reference binaries)")
     p.add_argument("--stats", action="store_true", help="print JSON run stats to stderr")
     p.add_argument("--profile", metavar="DIR",
                    help="capture a jax.profiler trace of the run into DIR "

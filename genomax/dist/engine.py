@@ -182,6 +182,7 @@ class ShardedEngine:
                 backend=self.backend,
                 interpret=self.interpret,
                 stream_vmem_rows=self.cfg.stream_vmem_rows,
+                mm_div=self.phmm_cfg.mm_div,
             )
 
         results = _run_buckets("pairhmm-sharded", buckets, dispatch)

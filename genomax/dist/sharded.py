@@ -107,7 +107,7 @@ def sw_forward_sharded(
     jax.jit,
     static_argnames=(
         "mesh", "n_diags", "rescale_period", "backend", "interpret",
-        "stream_vmem_rows",
+        "stream_vmem_rows", "mm_div",
     ),
 )
 def pairhmm_forward_sharded(
@@ -130,6 +130,7 @@ def pairhmm_forward_sharded(
     backend: str = "lax",
     interpret: bool = False,
     stream_vmem_rows: int = 6144,
+    mm_div: float = 1.0,
 ):
     """Batched PairHMM forward over a device mesh (see sw_forward_sharded)."""
 
@@ -149,6 +150,7 @@ def pairhmm_forward_sharded(
             local = fn(
                 rchar_s, qr_s, mmv_s, gapm_s, qi_s, qd_s, qg_s, hap_s, meta_s,
                 nd_s, rescale_period=rescale_period, interpret=interpret,
+                mm_div=mm_div,
             )
         else:
             from genomax.kernels.wavefront import phmm_forward_dense
@@ -159,6 +161,7 @@ def pairhmm_forward_sharded(
                 flatten_tiles(qi_s), flatten_tiles(qd_s),
                 flatten_tiles(qg_s), flatten_tiles(hap_s),
                 rl_s, hl_s, n_diags=n_diags, rescale_period=rescale_period,
+                mm_div=mm_div,
             ).reshape(rchar_s.shape[0], 128)
         return jax.lax.all_gather(local, DATA_AXIS, tiled=True)
 

@@ -154,7 +154,8 @@ def _make_dense_jits():
     from genomax.kernels.wavefront import phmm_forward_dense, sw_forward_dense
 
     sw = _jax.jit(sw_forward_dense, static_argnames=("n_diags", "cfg"))
-    ph = _jax.jit(phmm_forward_dense, static_argnames=("n_diags", "rescale_period"))
+    ph = _jax.jit(phmm_forward_dense,
+                  static_argnames=("n_diags", "rescale_period", "mm_div"))
     return sw, ph
 
 
@@ -389,6 +390,7 @@ class Engine:
                 jnp.asarray(b.ndiag_tile),
                 rescale_period=self.cfg.rescale_period,
                 interpret=self.interpret,
+                mm_div=self.phmm_cfg.mm_div,
             )
 
         return _phmm_dense_jit(
@@ -405,6 +407,7 @@ class Engine:
             n_diags=-(-b.max_diags // self.cfg.rescale_period)
             * self.cfg.rescale_period,
             rescale_period=self.cfg.rescale_period,
+            mm_div=self.phmm_cfg.mm_div,
         )
 
     def _phmm_offload_mask(self, batches):
@@ -484,6 +487,7 @@ class Engine:
                          if ok],
                         self.phmm_cfg.phred_offset,
                         interpret=self.interpret,
+                        mm_div=self.phmm_cfg.mm_div,
                     )
                     nat = idx[~dev_ok]
                 except Exception:
@@ -510,7 +514,8 @@ class Engine:
                     if j in want:
                         jobs.append(PairHMMBatch(reads=[rd], haplotypes=[hp]))
                     j += 1
-        exact = native.pairhmm_native(jobs, self.phmm_cfg.phred_offset)
+        exact = native.pairhmm_native(jobs, self.phmm_cfg.phred_offset,
+                                      self.phmm_cfg.gatk_emission)
         out = out.astype(np.float64)
         out[np.asarray(sorted(want), dtype=np.int64)] = exact
         return out

@@ -84,6 +84,7 @@ def pairhmm_log10(
     r = np.frombuffer(read_bases, np.uint8)
     h = np.frombuffer(hap, np.uint8)
     N = ord("N")
+    mmdiv = 3.0 if cfg.gatk_emission else 1.0
 
     M = np.zeros((rl + 1, hl + 1), dtype=np.float64)
     X = np.zeros((rl + 1, hl + 1), dtype=np.float64)
@@ -95,7 +96,7 @@ def pairhmm_log10(
         gapm = 1.0 - qg[i - 1]
         for j in range(1, hl + 1):
             match = r[i - 1] == h[j - 1] or r[i - 1] == N or h[j - 1] == N
-            p = (1.0 - qr[i - 1]) if match else qr[i - 1]
+            p = (1.0 - qr[i - 1]) if match else qr[i - 1] / mmdiv
             M[i, j] = p * (mmv * M[i - 1, j - 1] + gapm * (X[i - 1, j - 1] + Y[i - 1, j - 1]))
             X[i, j] = M[i - 1, j] * qi[i - 1] + X[i - 1, j] * qg[i - 1]
             Y[i, j] = M[i, j - 1] * qd[i - 1] + Y[i, j - 1] * qg[i - 1]

@@ -124,7 +124,7 @@ def _kernel(rchar_hbm, qual_hbm, hap_hbm, meta_ref, hM0, hX0, hY0, hC0,
             out_ref, hM_hbm, hX_hbm, hY_hbm, hC_hbm,
             zscr, rcv, qv, slab, hin, hout, sems, *,
             k_strips: int, w: int, anchor: int, sweep_chunks: int,
-            unroll: int, interpret: bool):
+            unroll: int, interpret: bool, mm_div: float):
     del hM0, hX0, hY0, hC0  # aliased to h*_hbm (zero-initialized)
     n_sub = CHUNK // unroll
     span = w + CHUNK
@@ -168,7 +168,8 @@ def _kernel(rchar_hbm, qual_hbm, hap_hbm, meta_ref, hM0, hX0, hY0, hC0,
         # qg[0]=1 (see wavefront.PhmmConsts) — row 0 is global, so only
         # strip 0 carries the boundary constant in its Y1 init.
         qr = jnp.where(dead, 0.0,
-                       jnp.where(rchar == _N_CODE, 1.0 - qr, qr))
+                       jnp.where(rchar == _N_CODE, 1.0 - qr,
+                                 qr * (1.0 / mm_div)))
         qg = jnp.where(ii == 0, 1.0, qg)
         rlmask = ii == rl
         y0 = (2.0**PHMM_INIT_LOG2) / jnp.maximum(hl, 1).astype(jnp.float32)
@@ -381,7 +382,8 @@ def _kernel(rchar_hbm, qual_hbm, hap_hbm, meta_ref, hM0, hX0, hY0, hC0,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k_strips", "strip_w", "ny_max", "unroll", "interpret"),
+    static_argnames=("k_strips", "strip_w", "ny_max", "unroll", "interpret",
+                     "mm_div"),
 )
 def pairhmm_forward_pallas_long(
     rchar: jax.Array,  # (K*W, 128) int8/int32
@@ -396,6 +398,7 @@ def pairhmm_forward_pallas_long(
     ny_max: int,
     unroll: int = 16,
     interpret: bool = False,
+    mm_div: float = 1.0,
 ) -> jax.Array:
     """Returns (128,) f32 log10 likelihoods for one tile of long jobs."""
     if CHUNK % unroll or unroll > 32:
@@ -411,6 +414,7 @@ def pairhmm_forward_pallas_long(
         functools.partial(
             _kernel, k_strips=k_strips, w=w, anchor=anchor,
             sweep_chunks=sweep_chunks, unroll=unroll, interpret=interpret,
+            mm_div=mm_div,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
@@ -463,7 +467,8 @@ def pairhmm_forward_pallas_long(
 
 
 def pairhmm_long(jobs, phred_offset: float = 33.0, strip_w: int = STRIP_W,
-                 unroll: int = 16, interpret: bool = False) -> np.ndarray:
+                 unroll: int = 16, interpret: bool = False,
+                 mm_div: float = 1.0) -> np.ndarray:
     """log10 likelihoods for arbitrarily long (read, hap) jobs
     (tiles of 128 per call)."""
     out = np.zeros(len(jobs), np.float32)
@@ -478,6 +483,7 @@ def pairhmm_long(jobs, phred_offset: float = 33.0, strip_w: int = STRIP_W,
                 jnp.asarray(arrays["meta"]),
                 unroll=unroll,
                 interpret=interpret,
+                mm_div=mm_div,
                 **statics,
             )
         )

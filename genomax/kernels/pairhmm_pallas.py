@@ -46,6 +46,7 @@ def _kernel(
     *,
     unroll: int,
     interpret: bool,
+    mm_div: float,
 ):
     t = pl.program_id(0)
     nd = nd_ref[t]
@@ -74,6 +75,7 @@ def _kernel(
         meta[1:2],
         window,
         roll1,
+        mm_div,
     )
 
     def body(d, state):
@@ -92,7 +94,7 @@ def _kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("rescale_period", "interpret")
+    jax.jit, static_argnames=("rescale_period", "interpret", "mm_div")
 )
 def pairhmm_forward_pallas(
     rchar: jax.Array,  # (NT, NXs, 128) int32 sublane-fixed read codes
@@ -107,6 +109,7 @@ def pairhmm_forward_pallas(
     ndiag_tile: jax.Array,  # (NT,) int32
     rescale_period: int = 16,  # == the unrolled block length
     interpret: bool = False,
+    mm_div: float = 1.0,  # 3.0 = true GATK emission (PairHMMConfig)
 ) -> jax.Array:
     """Returns (NT, 128) f32 log10 likelihoods (reference-constant-relative)."""
     rchar = rchar.astype(jnp.int32)  # int8 on the wire, int32 in VMEM
@@ -144,7 +147,8 @@ def pairhmm_forward_pallas(
     )
 
     out = pl.pallas_call(
-        functools.partial(_kernel, unroll=rescale_period, interpret=interpret),
+        functools.partial(_kernel, unroll=rescale_period, interpret=interpret,
+                          mm_div=mm_div),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nt * 8, LANES), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -162,6 +166,7 @@ STREAM_CHUNK = 256  # diagonals per HBM->VMEM slab DMA (streamed variant)
 def _kernel_streamed(
     nd_ref, rchar_ref, qr_ref, mmv_ref, gapm_ref, qi_ref, qd_ref, qg_ref,
     hap_hbm, meta_ref, out_ref, zscr, slab, sem, *, unroll: int,
+    mm_div: float,
 ):
     """Streamed variant: the haplotype stream stays in HBM, slab-DMA'd
     per STREAM_CHUNK diagonals with double buffering — haplotype length
@@ -181,7 +186,7 @@ def _kernel_streamed(
     meta = meta_ref[0]
     c = phmm_make_consts(
         rchar_ref[0], qr_ref[0], mmv_ref[0], gapm_ref[0], qi_ref[0],
-        qd_ref[0], qg_ref[0], meta[0:1], meta[1:2], None, roll1,
+        qd_ref[0], qg_ref[0], meta[0:1], meta[1:2], None, roll1, mm_div,
     )
 
     def dma(slot, ci):
@@ -240,7 +245,8 @@ def _kernel_streamed(
     out_ref[:] = jnp.broadcast_to(res, out_ref.shape)
 
 
-@functools.partial(jax.jit, static_argnames=("rescale_period", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("rescale_period", "interpret", "mm_div"))
 def pairhmm_forward_pallas_streamed(
     rchar: jax.Array,
     qr: jax.Array,
@@ -254,6 +260,7 @@ def pairhmm_forward_pallas_streamed(
     ndiag_tile: jax.Array,
     rescale_period: int = 16,
     interpret: bool = False,
+    mm_div: float = 1.0,
 ) -> jax.Array:
     """pairhmm_forward_pallas with an HBM-resident haplotype stream."""
     if STREAM_CHUNK % rescale_period or rescale_period > 32:
@@ -288,7 +295,8 @@ def pairhmm_forward_pallas_streamed(
     )
 
     out = pl.pallas_call(
-        functools.partial(_kernel_streamed, unroll=rescale_period),
+        functools.partial(_kernel_streamed, unroll=rescale_period,
+                          mm_div=mm_div),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nt * 8, LANES), jnp.float32),
         compiler_params=pltpu.CompilerParams(

@@ -317,7 +317,10 @@ class PhmmConsts:
 
 
 def phmm_make_consts(rchar, qr, mmv, gapm, qi, qd, qg, rl, hl, window,
-                     roll1) -> PhmmConsts:
+                     roll1, mm_div: float = 1.0) -> PhmmConsts:
+    """mm_div: mismatch-emission divisor — 1.0 reproduces the reference
+    (plain Qr), 3.0 is the true GATK/GKL emission (Qr/3); see
+    PairHMMConfig.gatk_emission."""
     nxs, L = qr.shape
     ii = jax.lax.broadcasted_iota(jnp.int32, (nxs, L), 0)
     row0 = ii == 0
@@ -332,7 +335,7 @@ def phmm_make_consts(rchar, qr, mmv, gapm, qi, qd, qg, rl, hl, window,
     return PhmmConsts(
         rchar=rchar,
         pm=jnp.where(dead, 0.0, 1.0 - qr),
-        qr=jnp.where(dead, 0.0, jnp.where(rn, 1.0 - qr, qr)),
+        qr=jnp.where(dead, 0.0, jnp.where(rn, 1.0 - qr, qr * (1.0 / mm_div))),
         mmv=mmv,
         gapm=gapm,
         qi=qi,
@@ -526,6 +529,7 @@ def phmm_forward_dense(
     hl,
     n_diags,
     rescale_period: int = 16,
+    mm_div: float = 1.0,
 ):
     """Pure-JAX batched PairHMM forward (the 'lax' backend).
 
@@ -539,7 +543,7 @@ def phmm_forward_dense(
     window = functools.partial(stream_window, hap_rev, nxs=qr.shape[0])
     c = phmm_make_consts(
         rchar, qr, mmv, gapm, qi, qd, qg,
-        rl.reshape(1, L), hl.reshape(1, L), window, roll1,
+        rl.reshape(1, L), hl.reshape(1, L), window, roll1, mm_div,
     )
 
     def body(d, state):

@@ -62,7 +62,7 @@ def load(rebuild: bool = False):
         lib.gx_pairhmm_batch.restype = None
         lib.gx_pairhmm_batch.argtypes = [
             u8p, i64p, f64p, f64p, f64p, f64p, u8p, i64p, i64p, i64p,
-            ctypes.c_int64, f64p,
+            ctypes.c_int64, f64p, ctypes.c_double,
         ]
         i8p = np.ctypeslib.ndpointer(np.int8, flags="C")
         f32p = np.ctypeslib.ndpointer(np.float32, flags="C")
@@ -116,15 +116,22 @@ def sw_scores_native(pairs, cfg=None) -> np.ndarray:
     return out
 
 
-def pairhmm_native(batches, phred_offset: float = 33.0) -> np.ndarray:
-    """Batch PairHMM log10 likelihoods (fp64) in reference output order."""
+def pairhmm_native(batches, phred_offset: float = 33.0,
+                   gatk_emission: bool = False) -> np.ndarray:
+    """Batch PairHMM log10 likelihoods (fp64) in reference output order.
+    gatk_emission: True = Qr/3 mismatch emission (the real GATK; see
+    PairHMMConfig.gatk_emission), False = reference parity."""
     from genomax.io.phred import phred_to_error_prob
 
     lib = load()
     if lib is None:
+        from genomax.config import PairHMMConfig
         from genomax.kernels import oracle
 
-        return np.concatenate([oracle.pairhmm_batch_log10(b) for b in batches])
+        cfg = PairHMMConfig(phred_offset=phred_offset,
+                            gatk_emission=gatk_emission)
+        return np.concatenate(
+            [oracle.pairhmm_batch_log10(b, cfg) for b in batches])
 
     reads, haps, job_r, job_h = [], [], [], []
     quals = [[], [], [], []]
@@ -153,6 +160,6 @@ def pairhmm_native(batches, phred_offset: float = 33.0) -> np.ndarray:
         hap_data, hap_off,
         np.ascontiguousarray(np.array(job_r, np.int64)),
         np.ascontiguousarray(np.array(job_h, np.int64)),
-        len(job_r), out,
+        len(job_r), out, 3.0 if gatk_emission else 1.0,
     )
     return out

@@ -86,9 +86,11 @@ void gx_sw_scores_batch(const uint8_t* sx_data, const int64_t* sx_off,
 
 // PairHMM forward log10 likelihood, fp64, DBL_MAX/16 scaling.
 // Quality arrays are pre-decoded error probabilities (len rl).
+// mm_div: mismatch-emission divisor — 1.0 reproduces the reference's
+// plain-Qr emission (pairHMMmatrix.c:32-34), 3.0 the true GATK Qr/3.
 double gx_pairhmm(const uint8_t* read, int32_t rl, const double* qr,
                   const double* qi, const double* qd, const double* qg,
-                  const uint8_t* hap, int32_t hl) {
+                  const uint8_t* hap, int32_t hl, double mm_div) {
   const double init = (DBL_MAX / 16.0) / static_cast<double>(hl);
   const int32_t w = hl + 1;
 
@@ -109,7 +111,7 @@ double gx_pairhmm(const uint8_t* read, int32_t rl, const double* qr,
     for (int32_t j = 1; j <= hl; ++j) {
       const uint8_t hb = hap[j - 1];
       const bool eq = (rb == hb) || rb == 'N' || hb == 'N';
-      const double p = eq ? (1.0 - e_r) : e_r;
+      const double p = eq ? (1.0 - e_r) : e_r / mm_div;
       M1[j] = p * (t_mm * M0[j - 1] + t_gm * (X0[j - 1] + Y0[j - 1]));
       X1[j] = M0[j] * e_i + X0[j] * e_g;
       Y1[j] = M1[j - 1] * e_d + Y1[j - 1] * e_g;
@@ -128,14 +130,16 @@ void gx_pairhmm_batch(const uint8_t* read_data, const int64_t* read_off,
                       const double* qr, const double* qi, const double* qd,
                       const double* qg, const uint8_t* hap_data,
                       const int64_t* hap_off, const int64_t* job_read,
-                      const int64_t* job_hap, int64_t n_jobs, double* out) {
+                      const int64_t* job_hap, int64_t n_jobs, double* out,
+                      double mm_div) {
   for (int64_t k = 0; k < n_jobs; ++k) {
     const int64_t r = job_read[k], h = job_hap[k];
     const int64_t ro = read_off[r];
     out[k] = gx_pairhmm(read_data + ro,
                         static_cast<int32_t>(read_off[r + 1] - ro), qr + ro,
                         qi + ro, qd + ro, qg + ro, hap_data + hap_off[h],
-                        static_cast<int32_t>(hap_off[h + 1] - hap_off[h]));
+                        static_cast<int32_t>(hap_off[h + 1] - hap_off[h]),
+                        mm_div);
   }
 }
 

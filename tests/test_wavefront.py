@@ -191,3 +191,26 @@ def test_sw_invalid_scoring_rejected():
         Engine(EngineConfig(backend="lax"), sw_cfg=SWConfig(mismatch=1))
     with pytest.raises(ValueError):
         Engine(EngineConfig(backend="lax"), sw_cfg=SWConfig(gap_extend=0))
+
+
+def test_pairhmm_gatk_emission_mode():
+    """PairHMMConfig.gatk_emission=True applies the true GATK Qr/3
+    mismatch emission consistently across the lax kernel, the fp64
+    oracle, and the native model — and actually changes mismatch-heavy
+    results vs the reference-parity default."""
+    from genomax import native
+    from genomax.config import EngineConfig, PairHMMConfig
+
+    batch = generate_pairhmm_batch(2, 2, read_len=21, hap_len=27, seed=15)
+    cfg = PairHMMConfig(gatk_emission=True)
+    eng = Engine(EngineConfig(backend="lax"), phmm_cfg=cfg)
+    got = eng.pairhmm([batch])
+    want = oracle.pairhmm_batch_log10(batch, cfg)
+    np.testing.assert_allclose(got, want, atol=2e-4)
+    # differs from reference-parity mode (random pairs mismatch a lot)
+    ref = oracle.pairhmm_batch_log10(batch)
+    assert np.abs(want - ref).max() > 0.1
+    if native.available():
+        np.testing.assert_allclose(
+            native.pairhmm_native([batch], gatk_emission=True), want,
+            atol=1e-9)
