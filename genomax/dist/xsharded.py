@@ -30,15 +30,20 @@ the HBM-streamed kernel already handles at any length on one chip
 (kernels/pairhmm_pallas.py). Sharding PairHMM's read axis would add
 cross-strip exponent reconciliation for no workload that needs it.
 
-The per-block compute runs in a Pallas kernel (_strip_block_pallas);
-only the ppermute halo exchange and the block loop live at the XLA
-level. Measured (1-device mesh, real v5e, 128 x 2000x2400bp, U=32):
-16.6 GCUPS on real cells — the carries round-trip through HBM at every
-block boundary (6 x (W,128) arrays per block), which costs ~2x vs the
-fused single-chip kernels; larger U amortizes it at the price of a
-bigger halo message and deeper skew bubble. This path exists for pairs
-too big for ONE chip's VMEM, where that trade is the point; single-chip
-workloads route to kernels/sw_strips.py / sw_long.py instead.
+The per-block compute runs in a Pallas kernel (_strip_block_pallas),
+fori-looped over 8-step sub-blocks so the block length U (the halo
+message size / skew depth) is decoupled from compile cost (U=128
+compiles in 8 s where a fully-unrolled U=32 took 53 s); only the
+ppermute halo exchange and the block loop live at the XLA level.
+Measured (1-device mesh, real v5e, 128 x 2000x2400bp): ~17 GCUPS on
+real cells, FLAT across U in {32,128,256} — at K=1 the whole 2008-row
+x axis is one strip, whose ~250 vregs/array of carried state spill,
+and neither the per-block HBM carry round-trips (≈30 us of the 260 us
+block) nor U is the limiter. On a real K-chip mesh each strip is K×
+smaller (256 rows at K=8 — no spill), so this single-chip number is a
+floor, not the expected multi-chip rate. The path exists for pairs too
+big for ONE chip, where the trade is the point; single-chip workloads
+route to kernels/sw_strips.py / sw_long.py instead.
 """
 
 from __future__ import annotations
@@ -59,6 +64,9 @@ from genomax.pack.bucketing import (
     _reject_pad_codes,
     _round_up,
 )
+
+
+SUB_U = 8  # static in-kernel sub-unroll; U must be a multiple
 
 
 def _strip_block_pallas(sxb, slab, hD, hQ, state, *, w: int, U: int,
@@ -90,23 +98,38 @@ def _strip_block_pallas(sxb, slab, hD, hQ, state, *, w: int, U: int,
         subm = (sxb_v - sxb_v) + cfg.match
         subx = (sxb_v - sxb_v) + cfg.mismatch
         row0 = jax.lax.broadcasted_iota(jnp.int32, (w, LANES), 0) == 0
-        P1, D1, D1s, Q1s, D2s, mx = (
+        st0 = (
             P1_ref[:], D1_ref[:], D1s_ref[:], Q1s_ref[:], D2s_ref[:],
             mx_ref[:],
         )
-        for tt in range(U):
-            syw = slab_ref[U - tt : U - tt + w, :]
-            Pn = jnp.maximum(D1, P1 + ge)
-            Qn = jnp.maximum(D1s, Q1s + ge)
-            sub = jnp.where(syw == sxb_v, subm, subx)
-            Dn = jnp.maximum(jnp.maximum(Pn, Qn) + og_e,
-                             jnp.maximum(D2s + sub, 0))
-            mx = jnp.maximum(mx, Dn)
-            obD[tt : tt + 1, :] = Dn[w - 1 : w, :]
-            obQ[tt : tt + 1, :] = Qn[w - 1 : w, :]
-            D1sn = jnp.where(row0, hD_ref[tt : tt + 1, :], roll1(Dn))
-            Q1sn = jnp.where(row0, hQ_ref[tt : tt + 1, :], roll1(Qn))
-            P1, D1, D1s, Q1s, D2s = Pn, Dn, D1sn, Q1sn, D1s
+
+        # fori over 8-step sub-blocks: compile cost stays bounded by the
+        # static sub-unroll while U — and with it the halo message and
+        # the carries' HBM round-trip amortization — can grow.
+        subu = SUB_U if U % SUB_U == 0 else 1
+
+        def sub(sb, st):
+            P1, D1, D1s, Q1s, D2s, mx = st
+            for tt in range(subu):
+                idx = sb * subu + tt
+                syw = slab_ref[pl.ds(U - idx, w), :]
+                Pn = jnp.maximum(D1, P1 + ge)
+                Qn = jnp.maximum(D1s, Q1s + ge)
+                sub_ = jnp.where(syw == sxb_v, subm, subx)
+                Dn = jnp.maximum(jnp.maximum(Pn, Qn) + og_e,
+                                 jnp.maximum(D2s + sub_, 0))
+                mx = jnp.maximum(mx, Dn)
+                obD[pl.ds(idx, 1), :] = Dn[w - 1 : w, :]
+                obQ[pl.ds(idx, 1), :] = Qn[w - 1 : w, :]
+                hd = hD_ref[pl.ds(idx, 1), :]
+                hq = hQ_ref[pl.ds(idx, 1), :]
+                D1sn = jnp.where(row0, hd, roll1(Dn))
+                Q1sn = jnp.where(row0, hq, roll1(Qn))
+                P1, D1, D1s, Q1s, D2s = Pn, Dn, D1sn, Q1sn, D1s
+            return (P1, D1, D1s, Q1s, D2s, mx)
+
+        st = jax.lax.fori_loop(0, U // subu, sub, st0)
+        P1, D1, D1s, Q1s, D2s, mx = st
         oP1[:], oD1[:], oD1s[:], oQ1s[:], oD2s[:], omx[:] = (
             P1, D1, D1s, Q1s, D2s, mx,
         )

@@ -88,6 +88,22 @@ def test_xsharded_small_unroll_anchor(mesh):
         )
 
 
+def test_xsharded_large_unroll_fori(mesh):
+    # U > SUB_U exercises the in-kernel fori sub-block path (dynamic
+    # slab/halo row indexing); large U shrinks the per-block HBM
+    # round-trip overhead on real hardware.
+    rng = np.random.default_rng(3)
+    pairs = []
+    for _ in range(4):
+        a = rng.choice(list(b"ATGC"), int(rng.integers(150, 300))).astype(np.uint8).tobytes()
+        b = rng.choice(list(b"ATGC"), int(rng.integers(150, 300))).astype(np.uint8).tobytes()
+        if len(a) > len(b):
+            a, b = b, a
+        pairs.append(SWPair(sx=a, sy=b))
+    got = _run(mesh, pairs, unroll=64)
+    np.testing.assert_array_equal(got, oracle.sw_scores_pairs(pairs))
+
+
 def test_xsharded_tandem_repeat(mesh):
     # wrap-around adversary (see test_wavefront._tandem_pairs): halo
     # injection must carry the true neighbor rows, and device 0's zero
