@@ -20,9 +20,11 @@ split into K strips of W sublanes, swept SEQUENTIALLY inside one kernel:
     (max-with-0 keeps D >= 0, pads only decay), so scores are exact —
     the same pad-decay reasoning as kernels/wavefront.py.
 
-Measured on v5e: a 50kbp x 50kbp tile (128 lanes) runs 2.35 s warm
-= 136 G lane-cells/s with exact native parity — the reference C caps at
-1kbp and ~0.05 GCUPS (MAX_LINE_LENGTH 1000, antidiagonalSmithWaterman.c:44).
+Measured on v5e: a 50kbp x 50kbp tile (128 lanes) runs 1.43 s warm
+= 224 G lane-cells/s with exact native parity (W=104; the round-1
+W=512 default ran 2.3 s — vreg spill, DESIGN.md §3b) — the reference C
+caps at 1kbp and ~0.05 GCUPS (MAX_LINE_LENGTH 1000,
+antidiagonalSmithWaterman.c:44).
 """
 
 from __future__ import annotations
@@ -47,7 +49,11 @@ from genomax.pack.bucketing import (
 )
 
 CHUNK = 256  # diagonals per slab DMA (stream + halo granularity)
-STRIP_W = 512  # default strip width (sublanes of state per sweep)
+# Default strip width. Small strips keep the carried state out of the
+# vreg-spill regime (DESIGN.md 3b): measured on the 50kbp x 50kbp
+# point, W=104 runs 224 G lane-cells/s vs 140 at W=512 (W=64 is equal
+# within drift; 104 minimizes per-strip sweep slack a bit better).
+STRIP_W = 104
 
 
 def _layout(ny_max: int, w: int):
