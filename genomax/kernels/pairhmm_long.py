@@ -78,7 +78,11 @@ from genomax.pack.bucketing import (
     _round_up,
 )
 
-STRIP_W = 512  # default strip width (sublane rows of state per sweep)
+# Default strip width: W=256 measured fastest on 2048x2048 tiles
+# (99 ms vs 124 at 512, 107 at 104 — PairHMM's ~190 cyc/step latency
+# floor penalizes very narrow strips, vreg spill penalizes wide ones;
+# see DESIGN.md §3b) and compiles ~10x faster than 512.
+STRIP_W = 256
 
 
 def pack_pairhmm_long(jobs, phred_offset: float = 33.0, strip_w: int = STRIP_W):
