@@ -88,8 +88,12 @@ class EngineConfig:
     # Backend: "pallas" (TPU / interpret), "lax" (pure-JAX wavefront).
     backend: str = "auto"
     # Re-scale check period for the PairHMM fp32 exponent tracking (== the
-    # kernel's unrolled block length).
-    rescale_period: int = 16
+    # kernel's unrolled block length). Measured on v5e: 32 runs +6% over
+    # 16 at identical accuracy (10s.in max|err| 4.0e-5, same 24
+    # fallbacks) — the 2^40-trigger/2^80-factor headroom tolerates the
+    # deeper between-check decay, and anything beyond the fp32 envelope
+    # is caught by the fp64 fallback either way.
+    rescale_period: int = 32
     # PairHMM results below this log10 threshold (or non-finite) are
     # recomputed through the native fp64 golden model — the fp32 TPU fast
     # path covers the overwhelmingly common case, exactly like GATK/GKL's
