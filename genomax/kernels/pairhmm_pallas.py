@@ -107,7 +107,7 @@ def pairhmm_forward_pallas(
     hap: jax.Array,  # (NT, NDs, 128) int32 reversed diagonal stream
     meta: jax.Array,  # (NT, 8, 128) int32: row0=read_len, row1=hap_len
     ndiag_tile: jax.Array,  # (NT,) int32
-    rescale_period: int = 16,  # == the unrolled block length
+    rescale_period: int = 32,  # == the unrolled block length
     interpret: bool = False,
     mm_div: float = 1.0,  # 3.0 = true GATK emission (PairHMMConfig)
 ) -> jax.Array:
@@ -258,7 +258,7 @@ def pairhmm_forward_pallas_streamed(
     hap: jax.Array,  # (NT, NDs, 128) — stays in HBM
     meta: jax.Array,
     ndiag_tile: jax.Array,
-    rescale_period: int = 16,
+    rescale_period: int = 32,
     interpret: bool = False,
     mm_div: float = 1.0,
 ) -> jax.Array:

@@ -528,7 +528,7 @@ def phmm_forward_dense(
     rl,
     hl,
     n_diags,
-    rescale_period: int = 16,
+    rescale_period: int = 32,
     mm_div: float = 1.0,
 ):
     """Pure-JAX batched PairHMM forward (the 'lax' backend).
