@@ -105,19 +105,22 @@ class EngineConfig:
     # random read x hap pairs mostly fall below and run exact fp64.
     # None disables the fallback.
     phmm_fallback_threshold: float | None = -45.0
-    # Oversized-job offload: pairs whose padded sublane extent would
-    # overflow VMEM (~16 MB/core) leave the main lane-tile kernels —
-    # long SW pairs go to the strip-mined on-device kernel (sw_long),
-    # long PairHMM reads to the strip-mined long-read kernel
-    # (pairhmm_long: HBM halo FIFO + cross-strip exponent
-    # reconciliation), and only the chromosome-scale remainder (or
-    # device failures) to the native C++ exact model (the reference
-    # caps at MAX_LINE_LENGTH / MAX_READ_LEN 1000,
-    # antidiagonalSmithWaterman.c:44 / pairHMMmatrix.c:8).
-    # PairHMM applies half these bounds (it carries ~2x
-    # the per-position state). Measured on v5e: the streamed SW kernel
-    # compiles at x=1024 and fails by 1400; PairHMM at read=512 and
-    # fails by 640 — hence the 1024 default. The diagonal count is
+    # Oversized-job routing: pairs past this padded sublane extent
+    # leave the main lane-tile kernels — long SW pairs go to the
+    # strip-mined on-device kernel (sw_long), long PairHMM reads to
+    # the strip-mined long-read kernel (pairhmm_long: HBM halo FIFO +
+    # cross-strip exponent reconciliation), and only the
+    # chromosome-scale remainder (or device failures) to the native
+    # C++ exact model (the reference caps at MAX_LINE_LENGTH /
+    # MAX_READ_LEN 1000, antidiagonalSmithWaterman.c:44 /
+    # pairHMMmatrix.c:8). PairHMM applies half these bounds (it
+    # carries ~2x the per-position state). These are routing choices,
+    # not capacity limits: v5e VMEM is 128 MiB (measured r2), and the
+    # PairHMM lane-tile kernel was verified compiling AND matching the
+    # fp64 model (<=3e-5) at read=1000 this round (an r1 failure at
+    # 640 no longer reproduces). The strip kernels win past these
+    # sizes by escaping the wavefront triangle waste, and real reads
+    # are <=251bp, so the bounds are left alone. The diagonal count is
     # effectively unbounded: buckets whose stream buffer exceeds
     # stream_vmem_rows route to the HBM-streamed kernels (slab-DMA
     # double buffering), so max_device_diags only caps pathological

@@ -206,12 +206,15 @@ def sw_forward_pallas_strips(
     return out[::8]
 
 
-# Per-tile VMEM budget for the strips kernel (bytes): the 4 halo
-# buffers (2 slots x D/Q, ~anchor+W rows each) plus the int32 sx/sy
-# blocks must fit v5e's ~16 MB alongside the Pallas pipeline's double
-# buffering. Short-x/long-y buckets can satisfy the engine's
-# stream_vmem_rows gate yet blow this (e.g. 256-row x with a 5.9k-row
-# stream: halos alone ~11 MB), so the prep itself enforces it.
+# Per-tile VMEM budget for the strips kernel (bytes). This is a
+# ROUTING heuristic, not a capacity limit: v5e VMEM is 128 MiB
+# (measured from a Mosaic allocation error, size=134217728), and the
+# halo buffers compile fine at a 120 MB budget. The halo footprint
+# (2 slots x D/Q, ~anchor+W rows each) scales with the stream length,
+# so a big footprint means short-x/long-y — exactly the regime where
+# the resident-streamed kernel already sweeps few dead diagonals and
+# strips measured SLOWER (250bp x 5.3kbp: strips 11.7 vs streamed
+# 12.6 GCUPS, r2 probe). The 10 MB budget doubles as that perf gate.
 STRIPS_VMEM_BUDGET = 10 * 1024 * 1024
 
 
