@@ -148,3 +148,16 @@ def test_sw_devices_flag_sharded(tmp_path, capsys):
     scores = [int(line.split()[1]) for line in out if line.startswith("Score:")]
     want = oracle.sw_scores_pairs(parse_sw_file(p))
     np.testing.assert_array_equal(np.array(scores), want)
+
+
+def test_cli_profile_flag_writes_trace(tmp_path, capsys, golden_dir):
+    """--profile DIR captures a jax.profiler trace of the run (SURVEY §5
+    tracing plan); the trace dir must exist and be non-empty after."""
+    d = str(tmp_path / "trace")
+    rc = main(["sw", os.path.join(golden_dir, "sw_small.in"),
+               "--backend", "lax", "--profile", d])
+    capsys.readouterr()
+    assert rc == 0
+    assert os.path.isdir(d)
+    found = [f for _, _, fs in os.walk(d) for f in fs]
+    assert found, "profiler trace produced no files"
