@@ -161,10 +161,12 @@ def main():
                                              b.ndiag_tile))
         np.asarray(pairhmm_forward_pallas(*dev, interpret=interp))
         bestp = float("inf")
-        repsp = 3  # sustained: back-to-back dispatches, one fence — the
+        repsp = 8  # sustained: back-to-back dispatches, one fence — the
         # same amortization as the SW headline (per-dispatch host/tunnel
         # latency overlaps device execution in a pipeline; the reference
-        # also times kernel-only, pairHMM.cu:619-632)
+        # also times kernel-only, pairHMM.cu:619-632). 3 reps left ~8 ms
+        # of dispatch overhead per rep unamortized (62.5 vs the kernel's
+        # 75.8 GCUPS measured at 10 reps); 8 is within a hair of that.
         for _ in range(4):
             t0 = time.time()
             outs = [pairhmm_forward_pallas(*dev, interpret=interp)
