@@ -113,15 +113,34 @@ def main():
     ok = np.array_equal(got[:4], oracle.sw_scores_pairs(pairs[:4]))
     log(f"parity spot-check: {'OK' if ok else 'MISMATCH'}")
 
-    best = float("inf")
-    for _ in range(2 if tiny else 6):
-        t0 = time.time()
-        np.asarray(run())
-        best = min(best, (time.time() - t0) / reps)
-    cells = n * (L + 1) ** 2
-    gcups = cells / best / 1e9
-    log(f"SW 25k x {L}: {best*1e3:.1f} ms per 25k = {gcups:.2f} GCUPS "
-        f"sustained (ref GPU best {REF_GPU_GCUPS_512} GCUPS / 110.10 ms; "
+    # Sustained kernel-only throughput via SLOPE timing: the marginal
+    # cost of extra back-to-back dispatches, t(k) = F + k*K. The fixed
+    # F (~32 ms here: 25 ms tunnel dispatch + result D2H at ~58 MB/s)
+    # is pure harness cost on this axon-tunneled host — a local TPU
+    # host pays ~0.1 ms — and the linear model was validated against
+    # the device-serial alternative out to k=64 dispatches
+    # (genomax/bench/sweep.py bench_sw_point docstring). The
+    # reference's numbers are equally kernel-only, launch+sync around
+    # the kernel (hipvers.cpp:475-483).
+    def fenced(k):
+        best = float("inf")
+        for _ in range(2 if tiny else 5):
+            t0 = time.time()
+            for _ in range(k - 1):
+                run()
+            np.asarray(run())  # in-order stream: fences the whole chain
+            best = min(best, time.time() - t0)
+        return best
+
+    t1, t3 = fenced(1), fenced(3)
+    per = (t3 - t1) / 2
+    if per <= 0:  # timer noise floor (tiny/interpret mode)
+        per = t1
+    cells = n * reps * (L + 1) ** 2
+    gcups = cells / per / 1e9
+    log(f"SW {n*reps} x {L}: {per*1e3:.1f} ms/dispatch kernel-only "
+        f"(slope; single fenced dispatch {t1*1e3:.1f} ms) = {gcups:.2f} "
+        f"GCUPS (ref GPU best {REF_GPU_GCUPS_512} GCUPS / 110.10 ms; "
         f"ref C {REF_C_GCUPS} GCUPS)")
 
     # ---- secondary: PairHMM parity (10s.in) + production-scale GCUPS ----
@@ -160,23 +179,24 @@ def main():
                                              b.qi, b.qd, b.qg, b.hap, b.meta,
                                              b.ndiag_tile))
         np.asarray(pairhmm_forward_pallas(*dev, interpret=interp))
-        bestp = float("inf")
-        repsp = 8  # sustained: back-to-back dispatches, one fence — the
-        # same amortization as the SW headline (per-dispatch host/tunnel
-        # latency overlaps device execution in a pipeline; the reference
-        # also times kernel-only, pairHMM.cu:619-632). 3 reps left ~8 ms
-        # of dispatch overhead per rep unamortized (62.5 vs the kernel's
-        # 75.8 GCUPS measured at 10 reps); 8 is within a hair of that.
-        for _ in range(4):
-            t0 = time.time()
-            outs = [pairhmm_forward_pallas(*dev, interpret=interp)
-                    for _ in range(repsp)]
-            for o in outs:
-                np.asarray(o)
-            bestp = min(bestp, (time.time() - t0) / repsp)
+        # kernel-only slope timing, same scheme as the SW headline
+        def fenced_p(k):
+            best = float("inf")
+            for _ in range(4):
+                t0 = time.time()
+                for _ in range(k - 1):
+                    pairhmm_forward_pallas(*dev, interpret=interp)
+                np.asarray(pairhmm_forward_pallas(*dev, interpret=interp))
+                best = min(best, time.time() - t0)
+            return best
+
+        tp1, tp9 = fenced_p(1), fenced_p(9)
+        bestp = (tp9 - tp1) / 8
+        if bestp <= 0:
+            bestp = tp1
         pc = int((b.rl.astype(np.int64) * b.hl).sum())
-        log(f"PairHMM 65536x151x300: {bestp*1e3:.0f} ms = {pc/bestp/1e9:.2f} "
-            f"GCUPS sustained (ref C {0.106} GCUPS)")
+        log(f"PairHMM 65536x151x300: {bestp*1e3:.0f} ms kernel-only "
+            f"(slope) = {pc/bestp/1e9:.2f} GCUPS (ref C {0.106} GCUPS)")
     except Exception as e:  # secondary must not break the headline line
         log(f"PairHMM secondary failed: {e!r}")
 

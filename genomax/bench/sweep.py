@@ -21,14 +21,17 @@ def _force(x):
 
 def bench_sw_point(length: int, num_alignments: int, unroll: int, backend: str,
                    trials: int = 3, seed: int = 0):
-    """One sweep point: fixed-length random pairs, kernel-only timing
-    (matches the reference's kernel-only elapsed, hipvers.cpp:475-483).
-    Short points pack SEVERAL copies of the workload into one dispatch
-    (batch_reps) and divide: at 64bp the kernel runs ~5 ms per 25k
-    pairs, far below the ~25 ms per-dispatch host/tunnel cost, so
-    back-to-back dispatch alone cannot amortize it — more work per
-    fence can (the headline bench does the same; the reference's
-    numbers are equally launch-free kernel-only timing)."""
+    """One sweep point: fixed-length random pairs, kernel-only SLOPE
+    timing (matches the reference's kernel-only elapsed,
+    hipvers.cpp:475-483). The marginal cost of extra back-to-back
+    dispatches isolates device time from this host's fixed per-dispatch
+    tunnel cost (~25 ms) and the result D2H: at 64bp the kernel runs
+    ~1.2 ms per 25k pairs, so a single fenced dispatch measures mostly
+    overhead (21.5 "GCUPS" where the kernel does ~95 — the linear
+    t(k) = F + k*K model was validated out to k=64 against the
+    device-serial alternative, which would have doubled t32 vs t16).
+    The reference's numbers are equally launch-free kernel-only
+    timing; a non-tunneled TPU host pays ~0.1 ms, not 25."""
     import jax.numpy as jnp
 
     from genomax.config import EngineConfig
@@ -37,10 +40,9 @@ def bench_sw_point(length: int, num_alignments: int, unroll: int, backend: str,
     from genomax.io.generator import random_dna
     from genomax.pack.bucketing import pack_sw_pairs
 
-    batch_reps = max(1, 1024 // max(length, 64))
     rng = np.random.default_rng(seed)
     pairs = []
-    for _ in range(num_alignments * batch_reps):
+    for _ in range(num_alignments):
         a = random_dna(rng, length) + b"\n"
         b = random_dna(rng, length) + b"\n"
         pairs.append(SWPair(sx=a, sy=b))
@@ -85,21 +87,35 @@ def bench_sw_point(length: int, num_alignments: int, unroll: int, backend: str,
             nd = b.max_diags
             runs.append(lambda a=args, nd=nd: _sw_dense_jit(*a, n_diags=nd))
 
-    _ = [_force(r()) for r in runs]  # compile
-    best = float("inf")
-    for _t in range(trials):
-        t0 = time.perf_counter()
-        outs = [r() for r in runs]
-        for o in outs:
-            _force(o)
-        best = min(best, (time.perf_counter() - t0) / batch_reps)
+    _ = [_force(r()) for r in runs]  # compile + warm
+
+    def fenced(k):
+        # k back-to-back dispatches of the whole workload, one fence
+        # per bucket on the LAST rep (execution is in-order; skipping
+        # the k-1 intermediate D2H copies is the point).
+        best = float("inf")
+        for _t in range(trials):
+            t0 = time.perf_counter()
+            for _ in range(k - 1):
+                for r in runs:
+                    r()
+            for o in [r() for r in runs]:
+                _force(o)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    # enough extra reps that the slope dwarfs timer noise even when one
+    # rep is ~1 ms, without making the long points take minutes
+    k2 = 2 + max(4, min(32, 4096 // max(length, 64)))
+    t2, tk = fenced(2), fenced(k2)
+    per = max((tk - t2) / (k2 - 2), 1e-9)
     cells = num_alignments * (length + 1) ** 2  # incl. '\n' lane, like the C
     return {
         "length": length,
         "unroll": unroll,
-        "batch_reps": batch_reps,
-        "elapsed_ms": round(best * 1e3, 3),
-        "gcups": round(cells / best / 1e9, 3),
+        "slope_reps": k2,
+        "elapsed_ms": round(per * 1e3, 3),
+        "gcups": round(cells / per / 1e9, 3),
     }
 
 
@@ -168,20 +184,30 @@ def bench_pairhmm_point(n_reads: int, n_haps: int, read_len: int,
                 *a, n_diags=-(-nd // 16) * 16))
 
     _ = [_force(r()) for r in runs]
-    best = float("inf")
-    reps = 3
-    for _t in range(trials):
-        t0 = time.perf_counter()
-        outs = [r() for r in runs for _rep in range(reps)]
-        for o in outs:
-            _force(o)
-        best = min(best, (time.perf_counter() - t0) / reps)
+
+    def fenced(k):
+        # same slope-timing scheme as bench_sw_point (see its docstring)
+        best = float("inf")
+        for _t in range(trials):
+            t0 = time.perf_counter()
+            for _ in range(k - 1):
+                for r in runs:
+                    r()
+            for o in [r() for r in runs]:
+                _force(o)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    k2 = 2 + max(4, min(16, (1 << 31) // max(cells, 1)))
+    t2, tk = fenced(2), fenced(k2)
+    per = max((tk - t2) / (k2 - 2), 1e-9)
     return {
         "pairs": n,
         "read_len": read_len,
         "hap_len": hap_len,
-        "elapsed_ms": round(best * 1e3, 3),
-        "gcups": round(cells / best / 1e9, 3),
+        "slope_reps": k2,
+        "elapsed_ms": round(per * 1e3, 3),
+        "gcups": round(cells / per / 1e9, 3),
     }
 
 
