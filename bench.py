@@ -32,6 +32,19 @@ def main():
     import genomax
 
     genomax.setup_compilation_cache()
+    # Cold-run diagnosis (VERDICT r2 ask #3): log the persistent-cache
+    # state up front so the artifact records WHY a run was cold — an
+    # empty dir means no prior compile on this host; a populated dir
+    # followed by a FAILED_PRECONDITION purge means a TPU-runtime
+    # restart invalidated the executables (the axon remote-compile
+    # cache binds them to the runtime instance).
+    cache_dir = os.path.expanduser("~/.cache/genomax-jax")
+    try:
+        n_cached = sum(1 for _ in os.scandir(cache_dir))
+    except OSError:
+        n_cached = 0
+    log(f"persistent cache: {n_cached} entries at {cache_dir} "
+        f"({'expect warm' if n_cached else 'cold: empty cache'})")
     import jax.numpy as jnp
 
     from genomax.io.formats import SWPair, parse_pairhmm_file
@@ -58,6 +71,35 @@ def main():
         for _ in range(n * reps)
     ]
     unroll = 32
+
+    # Canary: one cheap fixed-shape kernel dispatch BEFORE the big
+    # compiles. It absorbs plugin init and — because its cache entry is
+    # stale if and only if every entry is (staleness = one TPU-runtime
+    # restart invalidating the whole cache) — it detects the stale case
+    # up front so the expensive kernels never burn a full compile twice.
+    from genomax.engine.executor import _cache_suspect, _purge_compilation_cache
+
+    def canary():
+        small = pack_sw_pairs(
+            [SWPair(sx=b"ACGT\n", sy=b"ACGTAC\n")] * 8)[0]
+        np.asarray(sw_forward_pallas(
+            jnp.asarray(small.sx), jnp.asarray(small.sy),
+            jnp.asarray(small.ndiag_tile), unroll=unroll, interpret=interp))
+
+    t0 = time.time()
+    try:
+        canary()
+    except Exception as e:
+        if _cache_suspect(e):
+            log(f"canary dispatch failed ({e!r}): a TPU-runtime restart "
+                "invalidated the persistent cache; purging + recompiling")
+            _purge_compilation_cache()
+            canary()
+        else:
+            raise
+    log(f"canary (plugin init + tiny compile or cache probe): "
+        f"{time.time()-t0:.1f}s")
+
     t0 = time.time()
     bucket = pack_sw_pairs(pairs)[0]
     log(f"pack: {time.time()-t0:.2f}s tiles={bucket.sx.shape}")
@@ -89,25 +131,75 @@ def main():
         def run():
             return sw_forward_pallas(*args, unroll=unroll, interpret=interp)
 
-    t0 = time.time()
-    try:
-        res = np.asarray(run())
-    except Exception as e:
-        # Stale persistent-cache executables after a TPU runtime restart
-        # fail with FAILED_PRECONDITION at dispatch; purge + recompile
-        # (same signature-gated self-heal as engine/_run_buckets).
-        from genomax.engine.executor import (
-            _cache_suspect,
-            _purge_compilation_cache,
-        )
+    # --- Overlap the expensive Mosaic compiles (VERDICT r2 ask #3): the
+    # SW headline kernel, the PairHMM production kernel, the 10s.in
+    # engine shapes, and the long-pair kernel compile CONCURRENTLY (the
+    # canary has already validated the cache, so no thread needs the
+    # purge-retry dance). All compile futures are joined BEFORE any
+    # timed loop so stray first-run device work cannot contaminate the
+    # timings. ---
+    from concurrent.futures import ThreadPoolExecutor
 
-        if _cache_suspect(e):
-            log(f"first dispatch failed ({e!r}); purging cache, retrying")
-            _purge_compilation_cache()
-            res = np.asarray(run())
-        else:
-            raise
-    log(f"compile+first: {time.time()-t0:.1f}s")
+    from genomax.config import EngineConfig
+    from genomax.engine.executor import Engine
+
+    golden = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tests", "golden")
+    eng = Engine(EngineConfig(backend="lax" if tiny else "pallas"))
+    batches = parse_pairhmm_file(os.path.join(golden, "10s.in"))
+
+    ph_dev = None
+    if not tiny:
+        from genomax.io.generator import generate_pairhmm_batch
+        from genomax.kernels.pairhmm_pallas import pairhmm_forward_pallas
+        from genomax.pack.bucketing import pack_pairhmm_batches
+
+        t0 = time.time()
+        big = generate_pairhmm_batch(8192, 8, read_len=151, hap_len=300,
+                                     seed=0)
+        bks, _ = pack_pairhmm_batches([big])
+        bbk = bks[0]
+        ph_dev = tuple(jnp.asarray(x) for x in (
+            bbk.rchar, bbk.qr, bbk.mmv, bbk.gapm, bbk.qi, bbk.qd, bbk.qg,
+            bbk.hap, bbk.meta, bbk.ndiag_tile))
+        log(f"pairhmm 65k pack+put: {time.time()-t0:.2f}s")
+
+    from genomax.kernels.sw_long import sw_scores_long
+
+    rngl = np.random.default_rng(7)
+    longn = 150 if tiny else 50_000
+    s50 = rngl.choice(list(b"ATGC"), longn).astype(np.uint8).tobytes()
+    lpairs = [SWPair(sx=s50, sy=s50)]
+
+    t0 = time.time()
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        fut_sw = pool.submit(lambda: np.asarray(run()))
+        fut_eng = pool.submit(eng.pairhmm, batches)
+        fut_ph = (pool.submit(lambda: np.asarray(
+            pairhmm_forward_pallas(*ph_dev, interpret=interp)))
+            if ph_dev is not None else None)
+        fut_long = pool.submit(sw_scores_long, lpairs, interpret=interp)
+        res = fut_sw.result()
+        t_sw = time.time() - t0
+        ph_ok = eng_ok = long_ok = True
+        try:
+            fut_eng.result()
+        except Exception as e:
+            eng_ok = False
+            log(f"10s.in engine compile failed: {e!r}")
+        if fut_ph is not None:
+            try:
+                fut_ph.result()
+            except Exception as e:
+                ph_ok = False
+                log(f"PairHMM production compile failed: {e!r}")
+        try:
+            long_score = fut_long.result()[0]
+        except Exception as e:
+            long_ok = False
+            log(f"sw_long compile failed: {e!r}")
+    log(f"compile+first: SW {t_sw:.1f}s; all kernels joined "
+        f"{time.time()-t0:.1f}s (parallel compile)")
     got = np.zeros(n * reps, np.int32)
     got[bucket.perm] = res.reshape(-1)[: bucket.n_valid]
     ok = np.array_equal(got[:4], oracle.sw_scores_pairs(pairs[:4]))
@@ -143,18 +235,26 @@ def main():
         f"GCUPS (ref GPU best {REF_GPU_GCUPS_512} GCUPS / 110.10 ms; "
         f"ref C {REF_C_GCUPS} GCUPS)")
 
+    # ---- SW engine path end-to-end: pack -> dispatch -> unpack (the
+    # whole product surface at the headline workload) ----
+    try:
+        t0 = time.time()
+        ev = eng.sw_scores(pairs)
+        dte = time.time() - t0
+        assert np.array_equal(ev, got)
+        st = eng.last_stats
+        log(f"SW engine path {n*reps} pairs: {dte*1e3:.0f} ms end-to-end "
+            f"(pack {st.pack_s*1e3:.0f} ms, exec {st.exec_s*1e3:.0f} ms) "
+            f"= {cells/dte/1e9:.1f} GCUPS all-in")
+    except Exception as e:
+        log(f"SW engine path failed: {e!r}")
+
     # ---- secondary: PairHMM parity (10s.in) + production-scale GCUPS ----
     try:
-        from genomax.engine.executor import Engine
-        from genomax.config import EngineConfig
-
-        golden = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              "tests", "golden")
         # tiny mode: the compiled lax twin (interpreting 3,550 pairs
         # would dominate CI time); kernels are covered by the headline.
-        eng = Engine(EngineConfig(backend="lax" if tiny else "pallas"))
-        batches = parse_pairhmm_file(os.path.join(golden, "10s.in"))
-        v = eng.pairhmm(batches)  # compile + run
+        if not eng_ok:
+            raise RuntimeError("10s.in engine compile failed above")
         t0 = time.time()
         v = eng.pairhmm(batches)
         dt = time.time() - t0
@@ -163,30 +263,19 @@ def main():
         log(f"PairHMM 10s.in: {dt*1e3:.0f} ms end-to-end, max|err|={err:.1e} "
             f"(ref C full-matrix: 590 ms)")
 
-        # Production-scale throughput: GATK-like 151bp reads x 300bp haps.
-        import jax.numpy as jnp2  # noqa: F401
-        from genomax.io.generator import generate_pairhmm_batch
-        from genomax.kernels.pairhmm_pallas import pairhmm_forward_pallas
-        from genomax.pack.bucketing import pack_pairhmm_batches
-
         if tiny:
             raise RuntimeError("skip production-scale point in tiny mode")
-        big = generate_pairhmm_batch(8192, 8, read_len=151, hap_len=300,
-                                     seed=0)
-        bks, _ = pack_pairhmm_batches([big])
-        b = bks[0]
-        dev = tuple(jnp.asarray(x) for x in (b.rchar, b.qr, b.mmv, b.gapm,
-                                             b.qi, b.qd, b.qg, b.hap, b.meta,
-                                             b.ndiag_tile))
-        np.asarray(pairhmm_forward_pallas(*dev, interpret=interp))
+        if not ph_ok:
+            raise RuntimeError("production kernel compile failed above")
+
         # kernel-only slope timing, same scheme as the SW headline
         def fenced_p(k):
             best = float("inf")
             for _ in range(4):
                 t0 = time.time()
                 for _ in range(k - 1):
-                    pairhmm_forward_pallas(*dev, interpret=interp)
-                np.asarray(pairhmm_forward_pallas(*dev, interpret=interp))
+                    pairhmm_forward_pallas(*ph_dev, interpret=interp)
+                np.asarray(pairhmm_forward_pallas(*ph_dev, interpret=interp))
                 best = min(best, time.time() - t0)
             return best
 
@@ -194,29 +283,35 @@ def main():
         bestp = (tp9 - tp1) / 8
         if bestp <= 0:
             bestp = tp1
-        pc = int((b.rl.astype(np.int64) * b.hl).sum())
-        log(f"PairHMM 65536x151x300: {bestp*1e3:.0f} ms kernel-only "
-            f"(slope) = {pc/bestp/1e9:.2f} GCUPS (ref C {0.106} GCUPS)")
+        pc = int((bbk.rl.astype(np.int64) * bbk.hl).sum())
+        log(f"PairHMM 65536x151x300: {bestp*1e3:.0f} ms kernel-only slope "
+            f"= {pc/bestp/1e9:.2f} GCUPS; single fenced dispatch "
+            f"{tp1*1e3:.0f} ms = {pc/tp1/1e9:.2f} GCUPS "
+            f"(ref C {0.106} GCUPS)")
+
+        # engine path end-to-end at the same 65k-pair workload
+        t0 = time.time()
+        eng.pairhmm([big])
+        dtp = time.time() - t0
+        stp = eng.last_stats
+        log(f"PairHMM engine path 65536 pairs: {dtp*1e3:.0f} ms end-to-end "
+            f"(pack {stp.pack_s*1e3:.0f} ms, exec {stp.exec_s*1e3:.0f} ms) "
+            f"= {pc/dtp/1e9:.2f} GCUPS all-in")
     except Exception as e:  # secondary must not break the headline line
         log(f"PairHMM secondary failed: {e!r}")
 
     # ---- secondary: long-pair strip kernel (capability the reference
     # lacks entirely: it caps at MAX_LINE_LENGTH 1000) ----
     try:
-        from genomax.kernels.sw_long import sw_scores_long
-
-        rngl = np.random.default_rng(7)
-        longn = 150 if tiny else 50_000
-        s50 = rngl.choice(list(b"ATGC"), longn).astype(np.uint8).tobytes()
-        lpairs = [SWPair(sx=s50, sy=s50)]
-        got = sw_scores_long(lpairs, interpret=interp)  # compile + run
+        if not long_ok:
+            raise RuntimeError("sw_long compile failed above")
         t0 = time.time()
         sw_scores_long(lpairs, interpret=interp)
         dtl = time.time() - t0
         lc = 128 * longn * longn
         log(f"SW long 128x{longn}x{longn}: {dtl:.2f} s = {lc/dtl/1e9:.0f} G "
-            f"lane-cells/s, identical-pair score {got[0]}/{longn} "
-            f"(reference caps at 1kbp)")
+            f"lane-cells/s, identical-pair score {long_score}/{longn} "
+            f"(reference C caps at 1kbp, GPU at 10kbp)")
     except Exception as e:
         log(f"SW long secondary failed: {e!r}")
 

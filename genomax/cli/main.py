@@ -42,10 +42,18 @@ def _build_engine(args):
     from genomax.config import EngineConfig, PairHMMConfig, SWConfig
     from genomax.engine.executor import Engine
 
+    cfg_kw = {}
+    if getattr(args, "max_device_len", None):
+        cfg_kw["max_device_len"] = args.max_device_len
     cfg = EngineConfig(
         unroll=args.unroll,
         backend=args.backend,
+        xshard_min_len=getattr(args, "xshard", None),
+        **cfg_kw,
     )
+    if getattr(args, "xshard", None) and not getattr(args, "devices", None):
+        raise ValueError("--xshard routes through the cross-chip wavefront; "
+                         "it requires --devices N")
     sw_cfg = SWConfig(
         match=args.match,
         mismatch=args.mismatch,
@@ -109,6 +117,16 @@ def _add_engine_args(p):
                    help="score over an N-device mesh (ShardedEngine; "
                         "virtual CPU devices fill in when the platform "
                         "has fewer)")
+    p.add_argument("--max-device-len", type=int, metavar="L",
+                   help="pairs whose padded sublane extent exceeds L "
+                        "leave the main lane-tile kernels for the "
+                        "long-pair paths (EngineConfig.max_device_len; "
+                        "default 1024)")
+    p.add_argument("--xshard", type=int, metavar="MINLEN",
+                   help="with --devices: SW pairs with len(x) >= MINLEN "
+                        "score through the cross-chip wavefront (one DP "
+                        "matrix striped over the mesh, dist/xsharded.py) "
+                        "instead of the single-chip long-pair path")
     p.add_argument("--coordinator", metavar="HOST:PORT",
                    help="multi-host: jax.distributed coordinator address")
     p.add_argument("--num-processes", type=int)

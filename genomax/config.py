@@ -139,6 +139,14 @@ class EngineConfig:
     # window addressing), hence the floor. False disables.
     sw_strips: bool = True
     strips_min_nxs: int = 128
+    # Cross-chip wavefront routing (ShardedEngine only): offloaded SW
+    # pairs whose x length is at least this many bases score through
+    # sw_forward_xsharded — ONE DP matrix split into per-device strips
+    # over the mesh (dist/xsharded.py), instead of the single-chip
+    # sw_long / native post-pass. None disables (the default: on one
+    # chip sw_long wins — xsharded exists for pairs too big for ONE
+    # chip's VMEM/HBM, where splitting the x axis is the point).
+    xshard_min_len: int | None = None
 
     def resolve_backend(self) -> str:
         if self.backend != "auto":

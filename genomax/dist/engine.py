@@ -22,7 +22,8 @@ import numpy as np
 
 from genomax.config import EngineConfig, PairHMMConfig, SWConfig
 from genomax.dist.mesh import DATA_AXIS
-from genomax.engine.executor import Engine, RunStats, _run_buckets
+from genomax.engine.executor import (Engine, RunStats, _run_buckets,
+                                     phmm_bucket_stats, sw_bucket_stats)
 from genomax.pack.bucketing import (
     pack_pairhmm_batches,
     pack_sw_pairs,
@@ -84,11 +85,64 @@ class ShardedEngine:
     # Packing is replicated per host, so the native recomputes are
     # deterministic across hosts.
     _sw_offload_mask = Engine._sw_offload_mask
-    _sw_offload_post = Engine._sw_offload_post
     _phmm_offload_mask = Engine._phmm_offload_mask
     _phmm_offload_post = Engine._phmm_offload_post
     _phmm_native_subset = Engine._phmm_native_subset
     _phmm_fallback = Engine._phmm_fallback
+
+    def _sw_offload_post(self, pairs, out, off, stats):
+        """Mesh twin of Engine._sw_offload_post: offloaded pairs whose x
+        length reaches cfg.xshard_min_len score through the CROSS-CHIP
+        wavefront (dist/xsharded.py — one DP matrix, K per-device
+        strips, ppermute halos), up to 128 per lane tile; the remainder
+        (and any xshard failure) flows through the shared single-chip
+        post-pass (sw_long / native) so every path still returns one
+        consistent answer per input (SURVEY §7 step 7; the routing
+        analog of the reference wiring alignGPU into its main,
+        smithWaterman.cu:466)."""
+        xmin = self.cfg.xshard_min_len
+        if off is None or xmin is None:
+            return Engine._sw_offload_post(self, pairs, out, off, stats)
+        idx = np.nonzero(off)[0]
+        xidx = np.array([i for i in idx if len(pairs[i].sx) >= xmin],
+                        dtype=np.int64)
+        rest = off.copy()
+        if len(xidx):
+            import jax.numpy as jnp
+
+            from genomax.dist.xsharded import (pack_sw_xsharded,
+                                               sw_forward_xsharded)
+            from genomax.pack.bucketing import LANES
+
+            # The cross-chip block kernel is Pallas-only: interpret it
+            # off-TPU (the CPU-mesh tests / virtual-mesh dry runs).
+            interp = (self.interpret
+                      or self.mesh.devices.flat[0].platform != "tpu")
+            try:
+                for s in range(0, len(xidx), LANES):
+                    tile = xidx[s : s + LANES]
+                    pk = pack_sw_xsharded(
+                        [pairs[i] for i in tile], self.n_devices,
+                        unroll=self.cfg.unroll)
+                    scores = np.asarray(sw_forward_xsharded(
+                        self._put(pk.sx),
+                        jnp.asarray(pk.sy),
+                        mesh=self.mesh,
+                        strip_w=pk.strip_w,
+                        n_diags=pk.n_diags,
+                        unroll=pk.unroll,
+                        anchor=pk.anchor,
+                        cfg=self.sw_cfg,
+                        interpret=interp,
+                    ))
+                    out[tile] = scores[: len(tile)]
+                rest[xidx] = False
+                stats.xsharded_jobs += len(xidx)
+                stats.offloaded_jobs += len(xidx)
+            except Exception:
+                pass  # rest mask still covers xidx: single-chip post-pass
+        if rest.any():
+            Engine._sw_offload_post(self, pairs, out, rest, stats)
 
     def sw_scores(self, pairs) -> np.ndarray:
         from genomax.dist.sharded import sw_forward_sharded
@@ -104,6 +158,7 @@ class ShardedEngine:
         ]
         stats.pack_s = time.perf_counter() - t0
         stats.buckets = len(buckets)
+        sw_bucket_stats(stats, buckets)
         t0 = time.perf_counter()
 
         def dispatch(b):
@@ -159,6 +214,7 @@ class ShardedEngine:
         stats.pack_s = time.perf_counter() - t0
         stats.n_jobs = n
         stats.buckets = len(buckets)
+        phmm_bucket_stats(stats, buckets)
         t0 = time.perf_counter()
 
         def dispatch(b):

@@ -125,6 +125,7 @@ class RunStats:
     buckets: int = 0
     fallback_jobs: int = 0  # PairHMM pairs recomputed in native fp64
     offloaded_jobs: int = 0  # oversized pairs routed to the native model
+    xsharded_jobs: int = 0  # SW pairs scored by the cross-chip wavefront
 
     @property
     def gcups(self) -> float:
@@ -145,6 +146,7 @@ class RunStats:
             "buckets": self.buckets,
             "fallback_jobs": self.fallback_jobs,
             "offloaded_jobs": self.offloaded_jobs,
+            "xsharded_jobs": self.xsharded_jobs,
         }
 
 

@@ -45,6 +45,9 @@ def sw_scores_stream(engine, pairs, chunk_pairs: int = 65536) -> np.ndarray:
     out = np.zeros(n, np.int32)
     stats = RunStats(n_jobs=n)
     spans = [(s, min(s + chunk_pairs, n)) for s in range(0, n, chunk_pairs)]
+    if not spans:  # empty workload: match Engine.sw_scores([])
+        engine.last_stats = stats
+        return out
 
     def prep(span):
         s, e = span
@@ -85,6 +88,9 @@ def pairhmm_stream(engine, batches, chunk_batches: int = 64) -> np.ndarray:
     ]
     stats = RunStats()
     outs = []
+    if not spans:  # empty workload: match Engine.pairhmm([])
+        engine.last_stats = stats
+        return np.zeros(0, np.float32)
 
     def prep(chunk):
         off = engine._phmm_offload_mask(chunk)

@@ -117,10 +117,12 @@ def pack_sw_conveyor(pairs, idx=None, max_slots: int = 64) -> SWConveyorPacked:
         t, rem = divmod(r, P * LANES)
         q, lane = divmod(rem, LANES)
         ys = np.frombuffer(p.sy, np.uint8)
+        _reject_pad_codes(ys, "sy")
         # buf[A0 - (q*T + j)] = sy[j-1], j = 1..ny
         base = A0 - q * T
         sy[t, base - len(ys) : base, lane] = ys[::-1]
         xs = np.frombuffer(p.sx, np.uint8)
+        _reject_pad_codes(xs, "sx")
         # sched[d = q*T + r' + 1] = sx[r'-1] for r' in [1, len(sx)]
         d0 = q * T + 2
         sched[t, d0 : d0 + len(xs), lane] = xs

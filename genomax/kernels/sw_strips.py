@@ -158,6 +158,12 @@ def sw_forward_pallas_strips(
     interpret: bool = False,
 ) -> jax.Array:
     """Returns (NT, 128) int32 scores (slot-major, like sw_forward_pallas)."""
+    if unroll not in (1, 2, 4, 8, 16, 32):
+        raise ValueError(
+            f"unroll must be one of 1,2,4,8,16,32 (got {unroll}): the pack "
+            "only guarantees anchor >= nd + 32 (MAX_UNROLL), so a larger "
+            "unroll's block overshoot would drive the stream-window load "
+            "offset (anchor - s) negative and silently mis-score")
     sx = sx.astype(jnp.int32)
     sy = sy.astype(jnp.int32)
     nt, nxs_pad, _ = sx.shape
