@@ -176,7 +176,8 @@ def main():
         fut_sw = pool.submit(lambda: np.asarray(run()))
         fut_eng = pool.submit(eng.pairhmm, batches)
         fut_ph = (pool.submit(lambda: np.asarray(
-            pairhmm_forward_pallas(*ph_dev, interpret=interp)))
+            pairhmm_forward_pallas(*ph_dev, interpret=interp,
+                                   bitmask=bbk.bitmask_codes)))
             if ph_dev is not None else None)
         fut_long = pool.submit(sw_scores_long, lpairs, interpret=interp)
         res = fut_sw.result()
@@ -274,8 +275,10 @@ def main():
             for _ in range(4):
                 t0 = time.time()
                 for _ in range(k - 1):
-                    pairhmm_forward_pallas(*ph_dev, interpret=interp)
-                np.asarray(pairhmm_forward_pallas(*ph_dev, interpret=interp))
+                    pairhmm_forward_pallas(*ph_dev, interpret=interp,
+                                           bitmask=bbk.bitmask_codes)
+                np.asarray(pairhmm_forward_pallas(
+                    *ph_dev, interpret=interp, bitmask=bbk.bitmask_codes))
                 best = min(best, time.time() - t0)
             return best
 

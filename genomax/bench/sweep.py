@@ -170,7 +170,8 @@ def bench_pairhmm_point(n_reads: int, n_haps: int, read_len: int,
             args = tuple(jnp.asarray(x) for x in (
                 b.rchar, b.qr, b.mmv, b.gapm, b.qi, b.qd, b.qg, b.hap,
                 b.meta, b.ndiag_tile))
-            runs.append(lambda a=args, f=fn: f(*a))
+            runs.append(lambda a=args, f=fn, bm=b.bitmask_codes: f(
+                *a, bitmask=bm))
         else:
             from genomax.engine.executor import _phmm_dense_jit, flatten_tiles
 
@@ -180,8 +181,9 @@ def bench_pairhmm_point(n_reads: int, n_haps: int, read_len: int,
                     flatten_tiles(b.qg), flatten_tiles(b.hap),
                     jnp.asarray(b.rl), jnp.asarray(b.hl))
             nd = b.max_diags
-            runs.append(lambda a=args, nd=nd: _phmm_dense_jit(
-                *a, n_diags=-(-nd // 16) * 16))
+            runs.append(lambda a=args, nd=nd, bm=b.bitmask_codes:
+                        _phmm_dense_jit(*a, n_diags=-(-nd // 16) * 16,
+                                        bitmask=bm))
 
     _ = [_force(r()) for r in runs]
 

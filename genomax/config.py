@@ -139,6 +139,14 @@ class EngineConfig:
     # window addressing), hence the floor. False disables.
     sw_strips: bool = True
     strips_min_nxs: int = 128
+    # Sublane-stacking for SHORT pairs (kernels/sw_stacked.py): buckets
+    # whose sublane window is at most stack_max_nxs rows re-stack
+    # sw_stack tiles deep, amortizing the measured ~100-cyc per-step
+    # overhead floor over sw_stack pairs (DESIGN.md §3b — the LEN=64
+    # regime where unroll/grid/strips levers all measured flat).
+    # 0/1 disables.
+    sw_stack: int = 0
+    stack_max_nxs: int = 96
     # Cross-chip wavefront routing (ShardedEngine only): offloaded SW
     # pairs whose x length is at least this many bases score through
     # sw_forward_xsharded — ONE DP matrix split into per-device strips

@@ -239,6 +239,7 @@ class ShardedEngine:
                 interpret=self.interpret,
                 stream_vmem_rows=self.cfg.stream_vmem_rows,
                 mm_div=self.phmm_cfg.mm_div,
+                bitmask=b.bitmask_codes,
             )
 
         results = _run_buckets("pairhmm-sharded", buckets, dispatch)

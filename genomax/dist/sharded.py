@@ -107,7 +107,7 @@ def sw_forward_sharded(
     jax.jit,
     static_argnames=(
         "mesh", "n_diags", "rescale_period", "backend", "interpret",
-        "stream_vmem_rows", "mm_div",
+        "stream_vmem_rows", "mm_div", "bitmask",
     ),
 )
 def pairhmm_forward_sharded(
@@ -131,6 +131,7 @@ def pairhmm_forward_sharded(
     interpret: bool = False,
     stream_vmem_rows: int = 6144,
     mm_div: float = 1.0,
+    bitmask: bool = False,
 ):
     """Batched PairHMM forward over a device mesh (see sw_forward_sharded)."""
 
@@ -151,6 +152,7 @@ def pairhmm_forward_sharded(
                 rchar_s, qr_s, mmv_s, gapm_s, qi_s, qd_s, qg_s, hap_s, meta_s,
                 nd_s, rescale_period=rescale_period, interpret=interpret,
                 mm_div=mm_div,
+                bitmask=bitmask,
             )
         else:
             from genomax.kernels.wavefront import phmm_forward_dense
@@ -162,6 +164,7 @@ def pairhmm_forward_sharded(
                 flatten_tiles(qg_s), flatten_tiles(hap_s),
                 rl_s, hl_s, n_diags=n_diags, rescale_period=rescale_period,
                 mm_div=mm_div,
+                bitmask=bitmask,
             ).reshape(rchar_s.shape[0], 128)
         return jax.lax.all_gather(local, DATA_AXIS, tiled=True)
 

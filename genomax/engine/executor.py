@@ -157,7 +157,8 @@ def _make_dense_jits():
 
     sw = _jax.jit(sw_forward_dense, static_argnames=("n_diags", "cfg"))
     ph = _jax.jit(phmm_forward_dense,
-                  static_argnames=("n_diags", "rescale_period", "mm_div"))
+                  static_argnames=("n_diags", "rescale_period", "mm_div",
+                                   "bitmask"))
     return sw, ph
 
 
@@ -257,6 +258,28 @@ class Engine:
                     jnp.asarray(sy),
                     jnp.asarray(ndt),
                     jnp.asarray(nyt),
+                    cfg=self.sw_cfg,
+                    unroll=self.cfg.unroll,
+                    interpret=self.interpret,
+                    **statics,
+                )
+            # Short buckets (the step-overhead-bound regime): stack
+            # cfg.sw_stack tiles deep along the sublane axis so the
+            # per-step floor amortizes over the stack
+            # (kernels/sw_stacked.py; flat slot order is preserved, so
+            # unpack_scores needs no change).
+            from genomax.kernels.sw_stacked import (
+                maybe_prep_stacked,
+                sw_forward_pallas_stacked,
+            )
+
+            sprep = maybe_prep_stacked(self.cfg, b)
+            if sprep is not None:
+                (sx, sy, ndt), statics = sprep
+                return sw_forward_pallas_stacked(
+                    jnp.asarray(sx),
+                    jnp.asarray(sy),
+                    jnp.asarray(ndt),
                     cfg=self.sw_cfg,
                     unroll=self.cfg.unroll,
                     interpret=self.interpret,
@@ -393,6 +416,7 @@ class Engine:
                 rescale_period=self.cfg.rescale_period,
                 interpret=self.interpret,
                 mm_div=self.phmm_cfg.mm_div,
+                bitmask=b.bitmask_codes,
             )
 
         return _phmm_dense_jit(
@@ -410,6 +434,7 @@ class Engine:
             * self.cfg.rescale_period,
             rescale_period=self.cfg.rescale_period,
             mm_div=self.phmm_cfg.mm_div,
+            bitmask=b.bitmask_codes,
         )
 
     def _phmm_offload_mask(self, batches):

@@ -47,6 +47,7 @@ def _kernel(
     unroll: int,
     interpret: bool,
     mm_div: float,
+    bitmask: bool,
 ):
     t = pl.program_id(0)
     nd = nd_ref[t]
@@ -76,6 +77,7 @@ def _kernel(
         window,
         roll1,
         mm_div,
+        bitmask=bitmask,
     )
 
     def body(d, state):
@@ -94,7 +96,8 @@ def _kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("rescale_period", "interpret", "mm_div")
+    jax.jit, static_argnames=("rescale_period", "interpret", "mm_div",
+                              "bitmask")
 )
 def pairhmm_forward_pallas(
     rchar: jax.Array,  # (NT, NXs, 128) int32 sublane-fixed read codes
@@ -110,6 +113,7 @@ def pairhmm_forward_pallas(
     rescale_period: int = 32,  # == the unrolled block length
     interpret: bool = False,
     mm_div: float = 1.0,  # 3.0 = true GATK emission (PairHMMConfig)
+    bitmask: bool = False,  # codes are one-hot (PairHMMPacked.bitmask_codes)
 ) -> jax.Array:
     """Returns (NT, 128) f32 log10 likelihoods (reference-constant-relative)."""
     rchar = rchar.astype(jnp.int32)  # int8 on the wire, int32 in VMEM
@@ -148,7 +152,7 @@ def pairhmm_forward_pallas(
 
     out = pl.pallas_call(
         functools.partial(_kernel, unroll=rescale_period, interpret=interpret,
-                          mm_div=mm_div),
+                          mm_div=mm_div, bitmask=bitmask),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nt * 8, LANES), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -166,7 +170,7 @@ STREAM_CHUNK = 256  # diagonals per HBM->VMEM slab DMA (streamed variant)
 def _kernel_streamed(
     nd_ref, rchar_ref, qr_ref, mmv_ref, gapm_ref, qi_ref, qd_ref, qg_ref,
     hap_hbm, meta_ref, out_ref, zscr, slab, sem, *, unroll: int,
-    mm_div: float,
+    mm_div: float, bitmask: bool,
 ):
     """Streamed variant: the haplotype stream stays in HBM, slab-DMA'd
     per STREAM_CHUNK diagonals with double buffering — haplotype length
@@ -187,6 +191,7 @@ def _kernel_streamed(
     c = phmm_make_consts(
         rchar_ref[0], qr_ref[0], mmv_ref[0], gapm_ref[0], qi_ref[0],
         qd_ref[0], qg_ref[0], meta[0:1], meta[1:2], None, roll1, mm_div,
+        bitmask=bitmask,
     )
 
     def dma(slot, ci):
@@ -246,7 +251,8 @@ def _kernel_streamed(
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("rescale_period", "interpret", "mm_div"))
+                   static_argnames=("rescale_period", "interpret", "mm_div",
+                                    "bitmask"))
 def pairhmm_forward_pallas_streamed(
     rchar: jax.Array,
     qr: jax.Array,
@@ -261,6 +267,7 @@ def pairhmm_forward_pallas_streamed(
     rescale_period: int = 32,
     interpret: bool = False,
     mm_div: float = 1.0,
+    bitmask: bool = False,
 ) -> jax.Array:
     """pairhmm_forward_pallas with an HBM-resident haplotype stream."""
     if STREAM_CHUNK % rescale_period or rescale_period > 32:
@@ -296,7 +303,7 @@ def pairhmm_forward_pallas_streamed(
 
     out = pl.pallas_call(
         functools.partial(_kernel_streamed, unroll=rescale_period,
-                          mm_div=mm_div),
+                          mm_div=mm_div, bitmask=bitmask),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nt * 8, LANES), jnp.float32),
         compiler_params=pltpu.CompilerParams(

@@ -176,11 +176,21 @@ class SWConsts:
     cfg: SWConfig
 
 
-def sw_make_consts(sxb, window, roll1, cfg: SWConfig) -> SWConsts:
+def sw_make_consts(sxb, window, roll1, cfg: SWConfig,
+                   region_h: int | None = None) -> SWConsts:
+    """region_h: boundary-pin period for STACKED tiles (sw_stacked.py):
+    rows {q*region_h} get the row-0 Q-kill and rows {q*region_h - 1} the
+    bottom-row D-pin, making every region boundary behave exactly like
+    the proven circular-wrap boundary (module docstring) — the rolled-in
+    D from the region above is an exact 0, i.e. the first-column
+    boundary. Defaults to the full window height (single region)."""
     zero = sxb - sxb
     ii = jax.lax.broadcasted_iota(jnp.int32, sxb.shape, 0)
+    h = sxb.shape[0] if region_h is None else region_h
+    if region_h is not None:
+        ii = ii % h
     row0 = ii == 0
-    rowl = ii == sxb.shape[0] - 1
+    rowl = ii == h - 1
     return SWConsts(
         sxb=sxb,
         subm=jnp.where(rowl, -KILL, zero + cfg.match),
@@ -314,13 +324,19 @@ class PhmmConsts:
     ii: Any  # (NXs, L) int32 sublane iota
     window: Callable  # d -> (NXs, L) haplotype stream window
     roll1: Callable
+    bitmask: bool = False  # codes are one-hot match bitmasks (pack)
 
 
 def phmm_make_consts(rchar, qr, mmv, gapm, qi, qd, qg, rl, hl, window,
-                     roll1, mm_div: float = 1.0) -> PhmmConsts:
+                     roll1, mm_div: float = 1.0,
+                     bitmask: bool = False) -> PhmmConsts:
     """mm_div: mismatch-emission divisor — 1.0 reproduces the reference
     (plain Qr), 3.0 is the true GATK/GKL emission (Qr/3); see
-    PairHMMConfig.gatk_emission."""
+    PairHMMConfig.gatk_emission.
+
+    bitmask: rchar/stream carry one-hot match-bitmask codes
+    (PairHMMPacked.bitmask_codes) — the emission test in phmm_step
+    becomes one and+compare instead of two compares + or."""
     nxs, L = qr.shape
     ii = jax.lax.broadcasted_iota(jnp.int32, (nxs, L), 0)
     row0 = ii == 0
@@ -331,9 +347,10 @@ def phmm_make_consts(rchar, qr, mmv, gapm, qi, qd, qg, rl, hl, window,
     # bottom row into row 0, and 'N'-run haplotypes whose match-all
     # emission would otherwise make pad rows transparent (p = 1-qr = 1).
     dead = row0 | (ii > rl)
-    rn = rchar == _N_CODE
+    rn = rchar == (15 if bitmask else _N_CODE)
     return PhmmConsts(
         rchar=rchar,
+        bitmask=bitmask,
         pm=jnp.where(dead, 0.0, 1.0 - qr),
         qr=jnp.where(dead, 0.0, jnp.where(rn, 1.0 - qr, qr * (1.0 / mm_div))),
         mmv=mmv,
@@ -398,8 +415,14 @@ def phmm_step(d, state, c: PhmmConsts):
     hw = c.window(d)
 
     # emission p() (pairHMMmatrix.c:32-34); the read-'N' wildcard is
-    # folded into the qr const (both branches agree there)
-    match = (c.rchar == hw) | (hw == _N_CODE)
+    # folded into the qr const (both branches agree there). With
+    # bitmask codes (one-hot ACGT, N=15, pads 0 — pack_pairhmm_batches)
+    # the byte-equality + hap-'N'-wildcard test collapses to one
+    # and+compare: (bm & oh) != 0.
+    if c.bitmask:
+        match = (c.rchar & hw) != 0
+    else:
+        match = (c.rchar == hw) | (hw == _N_CODE)
     p = jnp.where(match, c.pm, c.qr)
 
     Mn = p * (c.mmv * M2s + c.gapm * (X2s + Y2s))
@@ -530,6 +553,7 @@ def phmm_forward_dense(
     n_diags,
     rescale_period: int = 32,
     mm_div: float = 1.0,
+    bitmask: bool = False,
 ):
     """Pure-JAX batched PairHMM forward (the 'lax' backend).
 
@@ -544,6 +568,7 @@ def phmm_forward_dense(
     c = phmm_make_consts(
         rchar, qr, mmv, gapm, qi, qd, qg,
         rl.reshape(1, L), hl.reshape(1, L), window, roll1, mm_div,
+        bitmask=bitmask,
     )
 
     def body(d, state):

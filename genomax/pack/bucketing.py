@@ -44,6 +44,35 @@ STREAM_CHUNK = 256
 PAD_X = 1
 PAD_STREAM = 0
 
+# One-hot match-bitmask code table (PairHMMPacked.bitmask_codes): byte ->
+# 4-bit base mask; N -> all four; everything else (incl. both pad codes)
+# -> 0 = matches nothing. _BM_OK marks the bytes whose translated
+# semantics are EXACTLY the reference's byte-equality + N-wildcard rules.
+_BM_LUT = np.zeros(256, np.int8)
+_BM_LUT[ord("A")] = 1
+_BM_LUT[ord("C")] = 2
+_BM_LUT[ord("G")] = 4
+_BM_LUT[ord("T")] = 8
+_BM_LUT[ord("N")] = 15
+_BM_OK = np.zeros(256, bool)
+for _b in (ord("A"), ord("C"), ord("G"), ord("T"), ord("N"), PAD_X,
+           PAD_STREAM):
+    _BM_OK[_b] = True
+
+
+def _bitmask_translate(rchar, hap):
+    """Translate packed byte codes to match-bitmask codes in place.
+    Returns True on success, False (arrays untouched) when any byte
+    falls outside the ACGTN+pad alphabet (exact byte-equality semantics
+    then require the two-compare emission path)."""
+    ru = rchar.view(np.uint8)
+    hu = hap.view(np.uint8)
+    if not (_BM_OK[ru].all() and _BM_OK[hu].all()):
+        return False
+    np.take(_BM_LUT, ru, out=rchar)
+    np.take(_BM_LUT, hu, out=hap)
+    return True
+
 
 def _round_up(x: int, q: int) -> int:
     return max(q, ((x + q - 1) // q) * q)
@@ -155,6 +184,14 @@ class PairHMMPacked:
     ndiag_tile: np.ndarray
     perm: np.ndarray
     n_valid: int
+    # True when rchar/hap carry one-hot MATCH-BITMASK codes instead of
+    # raw bytes (A=1 C=2 G=4 T=8 N=15, pads 0): the kernels' emission
+    # test becomes ONE and+compare, (bm & oh) != 0, replacing the
+    # two-compare-plus-or byte form — including the hap-'N'
+    # matches-everything rule (15 & anything-live != 0) and the read-'N'
+    # rule (bm 15). Packs containing bytes outside {A,C,G,T,N} keep raw
+    # bytes (False) for exact reference byte-equality semantics.
+    bitmask_codes: bool = False
 
     @property
     def max_diags(self) -> int:
@@ -453,6 +490,7 @@ def pack_pairhmm_batches(
             hl[r] = len(h)
         ndiag = (rl.astype(np.int64) + hl + 1).astype(np.int32)
         ndiag[len(idx):] = 1
+        bm = _bitmask_translate(rchar, hap)
         meta = np.zeros((nt, 8, LANES), dtype=np.int32)
         meta[:, 0, :] = rl.reshape(nt, LANES)
         meta[:, 1, :] = hl.reshape(nt, LANES)
@@ -472,6 +510,7 @@ def pack_pairhmm_batches(
                 ndiag_tile=_tile_ndiags(ndiag),
                 perm=idx,
                 n_valid=len(idx),
+                bitmask_codes=bm,
             )
         )
     packed = sum(b.n_valid for b in out)

@@ -286,3 +286,126 @@ def test_sw_conveyor_kernel_interpret():
     cfg = SWConfig(match=2, mismatch=-3, gap_open=0, gap_extend=-1)
     got2 = sw_scores_conveyor(pairs, cfg=cfg, max_slots=2, interpret=True)
     np.testing.assert_array_equal(got2, oracle.sw_scores_pairs(pairs, cfg))
+
+
+def test_sw_stacked_kernel_interpret():
+    """The sublane-stacked short-pair kernel vs the oracle: random
+    ragged pairs across multiple stacked tiles, plus the ghost-read
+    adversary — region 1's x IDENTICAL to region 0's stream, so any
+    leak of the neighbor's codes through the shared window load would
+    score a full-strength false alignment (the window mask must force
+    those rows to pad)."""
+    from genomax.kernels.sw_stacked import run_bucket_stacked
+    from genomax.pack.bucketing import pack_sw_pairs, unpack_scores
+
+    rng = np.random.default_rng(44)
+    abc = np.frombuffer(b"ATGC", np.uint8)
+    pairs = []
+    for _ in range(260):  # > 2 tiles so stack=2 really interleaves
+        a = rng.choice(abc, int(rng.integers(3, 60))).tobytes()
+        b = rng.choice(abc, int(rng.integers(3, 64))).tobytes()
+        if len(a) > len(b):
+            a, b = b, a
+        pairs.append(SWPair(sx=a, sy=b))
+    # ghost-read adversaries: x matches the OTHER stacked region's
+    # stream exactly; its own stream is all-mismatch (score must be 0
+    # against its own stream; any neighbor leak scores ~len(x)).
+    ghost_y = rng.choice(abc, 60).tobytes()
+    pairs.append(SWPair(sx=b"A" * 50, sy=ghost_y))
+    pairs.append(SWPair(sx=ghost_y, sy=b"T" * 60))
+    # tandem/wrap adversaries for the region-boundary pins
+    s = rng.choice(abc, 55).tobytes()
+    pairs.append(SWPair(sx=s, sy=s))
+    pairs.append(SWPair(sx=b"A", sy=b"A"))
+
+    for stack in (2, 4):
+        buckets = pack_sw_pairs(pairs)
+        res = []
+        for b in buckets:
+            r = run_bucket_stacked(b, stack=stack, unroll=8, interpret=True)
+            res.append(np.asarray(r))
+        got = unpack_scores(buckets, res, len(pairs))
+        np.testing.assert_array_equal(got, oracle.sw_scores_pairs(pairs))
+
+
+def test_sw_stacked_scoring_configs():
+    from genomax.config import SWConfig
+    from genomax.kernels.sw_stacked import run_bucket_stacked
+    from genomax.pack.bucketing import pack_sw_pairs, unpack_scores
+
+    rng = np.random.default_rng(45)
+    abc = np.frombuffer(b"ATGC", np.uint8)
+    pairs = []
+    for _ in range(130):
+        a = rng.choice(abc, int(rng.integers(20, 60))).tobytes()
+        b = rng.choice(abc, int(rng.integers(20, 64))).tobytes()
+        if len(a) > len(b):
+            a, b = b, a
+        pairs.append(SWPair(sx=a, sy=b))
+    for cfg in (SWConfig(match=2, mismatch=-3, gap_open=0, gap_extend=-1),
+                SWConfig(match=3, mismatch=-1, gap_open=-5, gap_extend=-2)):
+        buckets = pack_sw_pairs(pairs)
+        res = [np.asarray(run_bucket_stacked(b, stack=2, cfg=cfg, unroll=8,
+                                             interpret=True))
+               for b in buckets]
+        got = unpack_scores(buckets, res, len(pairs))
+        np.testing.assert_array_equal(
+            got, oracle.sw_scores_pairs(pairs, cfg))
+
+
+def test_sw_stacked_ineligible_long_stream():
+    """Streams longer than one region must be rejected (their codes
+    would collide with the neighbor's buffer region)."""
+    from genomax.kernels.sw_stacked import prep_bucket_stacked
+    from genomax.pack.bucketing import pack_sw_pairs
+
+    rng = np.random.default_rng(46)
+    abc = np.frombuffer(b"ATGC", np.uint8)
+    pairs = [SWPair(sx=rng.choice(abc, 40).tobytes(),
+                    sy=rng.choice(abc, 300).tobytes())
+             for _ in range(4)]
+    b = pack_sw_pairs(pairs)[0]
+    assert prep_bucket_stacked(b, 2) is None
+
+
+def test_sw_stacked_ghost_read_directed():
+    """Directed ghost-read adversary: 256 equal-shape pairs so the
+    stable sort keeps packing order and stack=2 puts pair l and pair
+    128+l in adjacent regions of the SAME lane; every region-1 x is
+    region-0's stream verbatim. Scores must equal the oracle (region 1
+    is all-mismatch vs its OWN stream -> 0)."""
+    from genomax.kernels.sw_stacked import run_bucket_stacked
+    from genomax.pack.bucketing import pack_sw_pairs, unpack_scores
+
+    rng = np.random.default_rng(47)
+    abc = np.frombuffer(b"ATGC", np.uint8)
+    region0 = [SWPair(sx=b"A" * 50, sy=rng.choice(abc[1:], 54).tobytes())
+               for _ in range(128)]  # sy has no 'A': region0 scores 0 too
+    region1 = [SWPair(sx=p.sy[:50], sy=b"A" * 54) for p in region0]
+    pairs = region0 + region1
+    buckets = pack_sw_pairs(pairs)
+    assert len(buckets) == 1 and buckets[0].sx.shape[0] == 2
+    res = [np.asarray(run_bucket_stacked(b, stack=2, unroll=8,
+                                         interpret=True))
+           for b in buckets]
+    got = unpack_scores(buckets, res, len(pairs))
+    np.testing.assert_array_equal(got, oracle.sw_scores_pairs(pairs))
+    assert got.max() == 0  # every pair is all-mismatch vs its own stream
+
+
+def test_engine_stacked_routing_interpret():
+    """cfg.sw_stack routes short buckets through the stacked kernel in
+    the engine (interpret mode) with results equal to the oracle and to
+    the default routing."""
+    rng = np.random.default_rng(48)
+    abc = np.frombuffer(b"ATGC", np.uint8)
+    pairs = []
+    for _ in range(150):
+        a = rng.choice(abc, int(rng.integers(3, 60))).tobytes()
+        b = rng.choice(abc, int(rng.integers(3, 64))).tobytes()
+        if len(a) > len(b):
+            a, b = b, a
+        pairs.append(SWPair(sx=a, sy=b))
+    e2 = Engine(EngineConfig(backend="pallas", sw_stack=4), interpret=True)
+    got = e2.sw_scores(pairs)
+    np.testing.assert_array_equal(got, oracle.sw_scores_pairs(pairs))

@@ -214,3 +214,29 @@ def test_pairhmm_gatk_emission_mode():
         np.testing.assert_allclose(
             native.pairhmm_native([batch], gatk_emission=True), want,
             atol=1e-9)
+
+
+def test_pairhmm_bitmask_translation_and_fallback(eng):
+    """Packs whose alphabet is ACGTN translate to one-hot match-bitmask
+    codes (bitmask_codes=True, one and+compare emission); any other byte
+    forces the exact byte-equality path (False). Both must match the
+    byte-semantics oracle."""
+    from genomax.pack.bucketing import pack_pairhmm_batches
+
+    batch = generate_pairhmm_batch(2, 2, read_len=14, hap_len=18, seed=21)
+    bks, _ = pack_pairhmm_batches([batch])
+    assert all(b.bitmask_codes for b in bks)
+    got = eng.pairhmm([batch])
+    np.testing.assert_allclose(got, oracle.pairhmm_batch_log10(batch),
+                               atol=2e-4)
+
+    # 'X' in a read and a hap: exact byte-equality semantics (X matches
+    # X, nothing else) must be preserved via the fallback path.
+    weird = generate_pairhmm_batch(2, 2, read_len=14, hap_len=18, seed=22)
+    weird.reads[0].bases = b"AX" + weird.reads[0].bases[2:]
+    weird.haplotypes[0] = b"XA" + weird.haplotypes[0][2:]
+    bks, _ = pack_pairhmm_batches([weird])
+    assert not any(b.bitmask_codes for b in bks)
+    got = eng.pairhmm([weird])
+    np.testing.assert_allclose(got, oracle.pairhmm_batch_log10(weird),
+                               atol=2e-4)
