@@ -31,6 +31,7 @@ def log(*a):
 def main():
     import genomax
 
+    genomax.honor_jax_platforms()
     genomax.setup_compilation_cache()
     # Cold-run diagnosis (VERDICT r2 ask #3): log the persistent-cache
     # state up front so the artifact records WHY a run was cold — an
@@ -155,14 +156,24 @@ def main():
         from genomax.pack.bucketing import pack_pairhmm_batches
 
         t0 = time.time()
+        # from_haps: reads are error-perturbed haplotype substrings, the
+        # shape of real HaplotypeCaller input (independent random pairs
+        # score ~-300 and would send ALL 65k pairs through the fp64
+        # deep-negative fallback — a fallback stress test, not a
+        # throughput workload).
         big = generate_pairhmm_batch(8192, 8, read_len=151, hap_len=300,
-                                     seed=0)
-        bks, _ = pack_pairhmm_batches([big])
+                                     seed=0, from_haps=True)
+        # byte-qual pack: ship ~50 MB of phred bytes instead of ~300 MB
+        # of fp32 tables, expand on device (the engine's production path)
+        bks, _ = pack_pairhmm_batches([big], byte_quals=True)
         bbk = bks[0]
-        ph_dev = tuple(jnp.asarray(x) for x in (
-            bbk.rchar, bbk.qr, bbk.mmv, bbk.gapm, bbk.qi, bbk.qd, bbk.qg,
-            bbk.hap, bbk.meta, bbk.ndiag_tile))
-        log(f"pairhmm 65k pack+put: {time.time()-t0:.2f}s")
+        from genomax.kernels.pairhmm_pallas import expand_byte_quals
+
+        quals = expand_byte_quals(jnp.asarray(bbk.qb))
+        ph_dev = (jnp.asarray(bbk.rchar),) + tuple(quals) + tuple(
+            jnp.asarray(x) for x in (bbk.hap, bbk.meta, bbk.ndiag_tile))
+        jax.block_until_ready(ph_dev)
+        log(f"pairhmm 65k pack+put: {time.time()-t0:.2f}s (byte-qual)")
 
     from genomax.kernels.sw_long import sw_scores_long
 
@@ -298,7 +309,8 @@ def main():
         dtp = time.time() - t0
         stp = eng.last_stats
         log(f"PairHMM engine path 65536 pairs: {dtp*1e3:.0f} ms end-to-end "
-            f"(pack {stp.pack_s*1e3:.0f} ms, exec {stp.exec_s*1e3:.0f} ms) "
+            f"(pack {stp.pack_s*1e3:.0f} ms, exec {stp.exec_s*1e3:.0f} ms, "
+            f"fp64 fallbacks {stp.fallback_jobs}) "
             f"= {pc/dtp/1e9:.2f} GCUPS all-in")
     except Exception as e:  # secondary must not break the headline line
         log(f"PairHMM secondary failed: {e!r}")

@@ -209,6 +209,7 @@ class ShardedEngine:
             batches,
             self.phmm_cfg.phred_offset,
             job_mask=None if off is None else ~off,
+            byte_quals=self.backend == "pallas",
         )
         buckets = [pad_tiles_to(b, self.n_devices) for b in buckets]
         stats.pack_s = time.perf_counter() - t0
@@ -218,14 +219,26 @@ class ShardedEngine:
         t0 = time.perf_counter()
 
         def dispatch(b):
+            if b.qb is not None:
+                # byte_quals: expand AFTER placement — elementwise, so it
+                # runs SPMD on the tile-sharded qb with no collectives
+                from genomax.kernels.pairhmm_pallas import expand_byte_quals
+
+                quals = expand_byte_quals(
+                    self._put(b.qb), float(self.phmm_cfg.phred_offset)
+                )
+            else:
+                quals = (
+                    self._put(b.qr),
+                    self._put(b.mmv),
+                    self._put(b.gapm),
+                    self._put(b.qi),
+                    self._put(b.qd),
+                    self._put(b.qg),
+                )
             return pairhmm_forward_sharded(
                 self._put(b.rchar),
-                self._put(b.qr),
-                self._put(b.mmv),
-                self._put(b.gapm),
-                self._put(b.qi),
-                self._put(b.qd),
-                self._put(b.qg),
+                *quals,
                 self._put(b.hap),
                 self._put(b.meta),
                 self._put(b.rl.reshape(-1, 128)).reshape(-1),

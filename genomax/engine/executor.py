@@ -393,6 +393,7 @@ class Engine:
 
         if self.backend == "pallas":
             from genomax.kernels.pairhmm_pallas import (
+                expand_byte_quals,
                 pairhmm_forward_pallas,
                 pairhmm_forward_pallas_streamed,
             )
@@ -402,14 +403,23 @@ class Engine:
                 if b.hap.shape[1] > self.cfg.stream_vmem_rows
                 else pairhmm_forward_pallas
             )
+            if b.qb is not None:
+                # byte_quals pack: ship raw phred bytes, expand on device
+                quals = expand_byte_quals(
+                    jnp.asarray(b.qb), float(self.phmm_cfg.phred_offset)
+                )
+            else:
+                quals = (
+                    jnp.asarray(b.qr),
+                    jnp.asarray(b.mmv),
+                    jnp.asarray(b.gapm),
+                    jnp.asarray(b.qi),
+                    jnp.asarray(b.qd),
+                    jnp.asarray(b.qg),
+                )
             return fn(
                 jnp.asarray(b.rchar),
-                jnp.asarray(b.qr),
-                jnp.asarray(b.mmv),
-                jnp.asarray(b.gapm),
-                jnp.asarray(b.qi),
-                jnp.asarray(b.qd),
-                jnp.asarray(b.qg),
+                *quals,
                 jnp.asarray(b.hap),
                 jnp.asarray(b.meta),
                 jnp.asarray(b.ndiag_tile),
@@ -461,6 +471,7 @@ class Engine:
             batches,
             self.phmm_cfg.phred_offset,
             job_mask=None if off is None else ~off,
+            byte_quals=self.backend == "pallas",
         )
         stats.pack_s = time.perf_counter() - t0
         stats.n_jobs = n

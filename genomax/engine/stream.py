@@ -97,6 +97,7 @@ def pairhmm_stream(engine, batches, chunk_batches: int = 64) -> np.ndarray:
         buckets, n = pack_pairhmm_batches(
             chunk, engine.phmm_cfg.phred_offset,
             job_mask=None if off is None else ~off,
+            byte_quals=engine.backend == "pallas",
         )
         return chunk, off, buckets, n
 

@@ -54,21 +54,57 @@ def generate_pairhmm_batch(
     read_len: int,
     hap_len: int,
     seed: int = 0,
+    from_haps: bool = False,
 ):
-    """A synthetic PairHMM batch with plausible phred ranges."""
+    """A synthetic PairHMM batch with plausible phred ranges.
+
+    from_haps=True generates the shape of real HaplotypeCaller input:
+    the candidate haplotypes are SNP-variants (~1%) of one locus
+    sequence, and each read is a substring of one of them with a
+    ~0.5% substitution-error rate — so every read×hap pair in the
+    cross product scores in a realistic band (reference test data
+    10s.in trips the engine's -45 fp64 fallback on only 24/3550
+    pairs). Independent random reads vs random haps (the default)
+    score ~-300 and push EVERY pair through the fallback — useful for
+    stressing that path, pathological as a throughput workload."""
     from genomax.io.formats import PairHMMBatch, PairHMMRead
 
     rng = np.random.default_rng(seed)
+    acgt = np.frombuffer(b"ACGT", np.uint8)
+    if from_haps:
+        base = np.frombuffer(random_dna(rng, hap_len), np.uint8)
+        hap_arrs = []
+        for _ in range(num_haps):
+            h = base.copy()
+            snps = rng.random(hap_len) < 0.01
+            if snps.any():
+                h[snps] = acgt[rng.integers(0, 4, int(snps.sum()))]
+            hap_arrs.append(h)
+        haps = [h.tobytes() for h in hap_arrs]
+    else:
+        haps = [random_dna(rng, hap_len) for _ in range(num_haps)]
+        hap_arrs = [np.frombuffer(h, np.uint8) for h in haps]
     reads = []
     for _ in range(num_reads):
+        if from_haps:
+            src = hap_arrs[int(rng.integers(len(hap_arrs)))]
+            off = int(rng.integers(0, max(1, len(src) - read_len + 1)))
+            bases = src[off : off + read_len].copy()
+            errs = rng.random(len(bases)) < 0.005
+            if errs.any():
+                bases[errs] = rng.choice(
+                    np.frombuffer(b"ACGT", np.uint8), int(errs.sum())
+                )
+            bases = bases.tobytes()
+        else:
+            bases = random_dna(rng, read_len)
         reads.append(
             PairHMMRead(
-                bases=random_dna(rng, read_len),
+                bases=bases,
                 base_q=(rng.integers(20, 41, read_len) + 33).astype(np.uint8).tobytes(),
                 ins_q=(rng.integers(30, 46, read_len) + 33).astype(np.uint8).tobytes(),
                 del_q=(rng.integers(30, 46, read_len) + 33).astype(np.uint8).tobytes(),
                 gcp_q=(np.full(read_len, 10) + 33).astype(np.uint8).tobytes(),
             )
         )
-    haps = [random_dna(rng, hap_len) for _ in range(num_haps)]
     return PairHMMBatch(reads=reads, haplotypes=haps)

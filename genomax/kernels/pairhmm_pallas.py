@@ -29,6 +29,42 @@ from genomax.kernels.wavefront import (
     wavefront_sweep,
 )
 
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=("phred_offset",))
+def expand_byte_quals(qb, phred_offset: float = 33.0):
+    """Expand raw phred+33 quality bytes (PairHMMPacked.qb,
+    (NT, 4, NXs, 128) int8, planes base/ins/del/gcp) into the six fp32
+    tables the kernels consume — ON DEVICE, so the host ships ~5.6x
+    fewer bytes per batch (the reference decodes on host into doubles,
+    pairHMMmatrix.c qual-to-prob; genomax moves the decode past the
+    PCIe/ICI boundary).
+
+    LUT entries below the phred offset are exact 0.0: real quality
+    bytes are >= offset (printable phred+33), so only layout pads
+    (byte 0) hit them — preserving the pad-decay invariant (all six
+    tables exactly 0 at pad cells, byte-identical to the fp32 packers'
+    calloc pages). mmv/gapm are additionally gated on the pad mask
+    since their pad value must be 0, not 1. fp32 rounding note: the
+    host packer computes 1-(Qi+Qd) in fp64 then casts; here the sum is
+    fp32 — differs by <=1 ulp, far inside the 1e-4 parity envelope.
+    """
+    lut_np = np.power(10.0, -(np.arange(256) - phred_offset) / 10.0)
+    lut_np[: max(0, int(np.ceil(phred_offset)))] = 0.0
+    lut = jnp.asarray(lut_np.astype(np.float32))
+    idx = qb.astype(jnp.uint8).astype(jnp.int32)
+    qr = jnp.take(lut, idx[:, 0], axis=0)
+    qi = jnp.take(lut, idx[:, 1], axis=0)
+    qd = jnp.take(lut, idx[:, 2], axis=0)
+    qg = jnp.take(lut, idx[:, 3], axis=0)
+    live = idx[:, 0] != 0
+    one = jnp.float32(1.0)
+    zero = jnp.float32(0.0)
+    mmv = jnp.where(live, one - (qi + qd), zero)
+    gapm = jnp.where(live, one - qg, zero)
+    return qr, mmv, gapm, qi, qd, qg
+
 
 def _kernel(
     nd_ref,

@@ -78,6 +78,12 @@ def load(rebuild: bool = False):
             c64, c64, c64, c64, ctypes.c_double,
             i8p, f32p, f32p, f32p, f32p, f32p, f32p, i8p, i32p, i32p,
         ]
+        lib.gx_pack_phmm_fill_bytes.restype = None
+        lib.gx_pack_phmm_fill_bytes.argtypes = [
+            u8p, i64p, u8p, u8p, u8p, u8p, u8p, i64p, i64p, i64p, i64p,
+            c64, c64, c64, c64,
+            i8p, i8p, i8p, i32p, i32p,
+        ]
         _lib = lib
         return _lib
 

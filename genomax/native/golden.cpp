@@ -225,4 +225,43 @@ void gx_pack_phmm_fill(const uint8_t* read_data, const int64_t* read_off,
   }
 }
 
+// Byte-qual fill: identical tile layout to gx_pack_phmm_fill but ships
+// the RAW phred+33 quality bytes (qb: (4, NXs, 128) int8 planes per
+// tile: base/ins/del/gcp) instead of six decoded fp32 tables — the
+// engine expands them on DEVICE through a 256-entry LUT
+// (pairhmm_pallas.expand_byte_quals), cutting host->device bytes ~5.6x
+// per batch. No phred decode here at all: pure strided byte scatter.
+void gx_pack_phmm_fill_bytes(
+    const uint8_t* read_data, const int64_t* read_off, const uint8_t* bq,
+    const uint8_t* iq, const uint8_t* dq, const uint8_t* gq,
+    const uint8_t* hap_data, const int64_t* hap_off, const int64_t* job_r,
+    const int64_t* job_h, const int64_t* order, int64_t n, int64_t nxs,
+    int64_t nds, int64_t anchor, int8_t* rchar, int8_t* qb, int8_t* hap,
+    int32_t* rl, int32_t* hl) {
+  for (int64_t r = 0; r < n; ++r) {
+    const int64_t g = order[r];
+    const int64_t t = r >> 7, lane = r & 127;
+    const int64_t ri = job_r[g], hi = job_h[g];
+    const int64_t ro = read_off[ri];
+    const int64_t L = read_off[ri + 1] - ro;
+    int8_t* rcp = rchar + t * nxs * 128 + lane;
+    const uint8_t* rb = read_data + ro;
+    for (int64_t k = 0; k < L; ++k) rcp[(k + 1) * 128] = (int8_t)rb[k];
+    int8_t* qbp = qb + t * 4 * nxs * 128 + lane;
+    const uint8_t* plane[4] = {bq + ro, iq + ro, dq + ro, gq + ro};
+    for (int p = 0; p < 4; ++p) {
+      int8_t* dst = qbp + p * nxs * 128;
+      const uint8_t* src = plane[p];
+      for (int64_t k = 0; k < L; ++k) dst[(k + 1) * 128] = (int8_t)src[k];
+    }
+    const int64_t ho = hap_off[hi];
+    const int64_t H = hap_off[hi + 1] - ho;
+    int8_t* hp = hap + t * nds * 128 + lane;
+    for (int64_t k = 0; k < H; ++k)
+      hp[(anchor - 1 - k) * 128] = (int8_t)hap_data[ho + k];
+    rl[r] = static_cast<int32_t>(L);
+    hl[r] = static_cast<int32_t>(H);
+  }
+}
+
 }  // extern "C"

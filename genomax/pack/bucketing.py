@@ -168,15 +168,21 @@ class PairHMMPacked:
     i-1). rchar: (NT, NXs, 128) int8; qr/mmv/gapm/qi/qd/qg: same shape
     float32; hap: (NT, NDs, 128) int8 reversed diagonal stream (see
     SWPacked.sy); meta: (NT, 8, 128) int32, row 0 = read_len, row 1 =
-    hap_len; rl/hl: (NP,) int32 true lengths (flat, for stats)."""
+    hap_len; rl/hl: (NP,) int32 true lengths (flat, for stats).
+
+    byte_quals packs carry qb (NT, 4, NXs, 128) int8 instead — the RAW
+    phred+33 bytes in planes base/ins/del/gcp, pads byte 0 — and
+    qr..qg are None: the engine expands qb on DEVICE
+    (pairhmm_pallas.expand_byte_quals), shipping ~5.6x fewer
+    host->device bytes per batch."""
 
     rchar: np.ndarray
-    qr: np.ndarray
-    mmv: np.ndarray
-    gapm: np.ndarray
-    qi: np.ndarray
-    qd: np.ndarray
-    qg: np.ndarray
+    qr: np.ndarray | None
+    mmv: np.ndarray | None
+    gapm: np.ndarray | None
+    qi: np.ndarray | None
+    qd: np.ndarray | None
+    qg: np.ndarray | None
     hap: np.ndarray
     meta: np.ndarray
     rl: np.ndarray
@@ -192,6 +198,7 @@ class PairHMMPacked:
     # rule (bm 15). Packs containing bytes outside {A,C,G,T,N} keep raw
     # bytes (False) for exact reference byte-equality semantics.
     bitmask_codes: bool = False
+    qb: np.ndarray | None = None
 
     @property
     def max_diags(self) -> int:
@@ -364,12 +371,18 @@ def pack_pairhmm_batches(
     batches,
     phred_offset: float = 33.0,
     job_mask=None,
+    byte_quals: bool = False,
 ) -> tuple[list[PairHMMPacked], int]:
     """Flatten batches into the global read-major pair list (the reference
     output order, pairHMMmatrix.c:207-258), decode phred once per read,
     then bucket/pack the read×haplotype cross-product. The per-job fill
     (incl. phred decode) runs through the native C++ data loader when
-    available (gx_pack_phmm_fill), else pure python."""
+    available (gx_pack_phmm_fill), else pure python.
+
+    byte_quals=True skips the phred decode entirely and packs the raw
+    quality bytes into PairHMMPacked.qb for on-device expansion (see the
+    dataclass docstring) — use for device backends; host consumers of
+    qr..qg must pack with the default."""
     from genomax import native
 
     lib = native.load()
@@ -392,7 +405,7 @@ def pack_pairhmm_batches(
                     f"(pairHMMmatrix.c:214: len = (strlen-4)/5)"
                 )
             raw_reads.append((rd.bases, rd.base_q, rd.ins_q, rd.del_q, rd.gcp_q))
-            if lib is None:
+            if lib is None and not byte_quals:
                 bases = np.frombuffer(rd.bases, np.uint8)
                 reads.append(
                     (
@@ -451,39 +464,60 @@ def pack_pairhmm_batches(
 
         # Tile layout written directly (see pack_sw_pairs).
         rchar = _full((nt, nxs, LANES), PAD_X, np.int8)
-        qr = np.zeros((nt, nxs, LANES), dtype=np.float32)
-        mmv = np.zeros((nt, nxs, LANES), dtype=np.float32)
-        gapm = np.zeros((nt, nxs, LANES), dtype=np.float32)
-        qi = np.zeros((nt, nxs, LANES), dtype=np.float32)
-        qd = np.zeros((nt, nxs, LANES), dtype=np.float32)
-        qg = np.zeros((nt, nxs, LANES), dtype=np.float32)
+        if byte_quals:
+            qb = np.zeros((nt, 4, nxs, LANES), dtype=np.int8)
+            qr = mmv = gapm = qi = qd = qg = None
+        else:
+            qb = None
+            qr = np.zeros((nt, nxs, LANES), dtype=np.float32)
+            mmv = np.zeros((nt, nxs, LANES), dtype=np.float32)
+            gapm = np.zeros((nt, nxs, LANES), dtype=np.float32)
+            qi = np.zeros((nt, nxs, LANES), dtype=np.float32)
+            qd = np.zeros((nt, nxs, LANES), dtype=np.float32)
+            qg = np.zeros((nt, nxs, LANES), dtype=np.float32)
         hap = _full((nt, nds, LANES), PAD_STREAM, np.int8)
         rl = np.zeros(slots, dtype=np.int32)
         hl = np.ones(slots, dtype=np.int32)
         if lib is not None:
-            lib.gx_pack_phmm_fill(
-                rd_data, rd_off, bq_data, iq_data, dq_data, gq_data,
-                hp_data, hp_off, jobs_r, jobs_h,
-                np.ascontiguousarray(idx), len(idx), nxs, nds, anchor,
-                phred_offset,
-                rchar, qr, mmv, gapm, qi, qd, qg, hap, rl, hl,
-            )
+            if byte_quals:
+                lib.gx_pack_phmm_fill_bytes(
+                    rd_data, rd_off, bq_data, iq_data, dq_data, gq_data,
+                    hp_data, hp_off, jobs_r, jobs_h,
+                    np.ascontiguousarray(idx), len(idx), nxs, nds, anchor,
+                    rchar, qb, hap, rl, hl,
+                )
+            else:
+                lib.gx_pack_phmm_fill(
+                    rd_data, rd_off, bq_data, iq_data, dq_data, gq_data,
+                    hp_data, hp_off, jobs_r, jobs_h,
+                    np.ascontiguousarray(idx), len(idx), nxs, nds, anchor,
+                    phred_offset,
+                    rchar, qr, mmv, gapm, qi, qd, qg, hap, rl, hl,
+                )
             idx_fill = ()
         else:
             idx_fill = enumerate(idx)
         for r, gi in idx_fill:
-            bases, Qr, Qi, Qd, Qg = reads[jobs_r[gi]]
+            if byte_quals:
+                bases, bq_r, iq_r, dq_r, gq_r = raw_reads[jobs_r[gi]]
+                bases = np.frombuffer(bases, np.uint8)
+            else:
+                bases, Qr, Qi, Qd, Qg = reads[jobs_r[gi]]
             _reject_pad_codes(bases, "read bases")
             _reject_pad_codes(haps[jobs_h[gi]], "haplotype")
             L = len(bases)
             t, lane = divmod(r, LANES)
             rchar[t, 1 : L + 1, lane] = bases
-            qr[t, 1 : L + 1, lane] = Qr
-            mmv[t, 1 : L + 1, lane] = 1.0 - (Qi + Qd)
-            gapm[t, 1 : L + 1, lane] = 1.0 - Qg
-            qi[t, 1 : L + 1, lane] = Qi
-            qd[t, 1 : L + 1, lane] = Qd
-            qg[t, 1 : L + 1, lane] = Qg
+            if byte_quals:
+                for p, q_raw in enumerate((bq_r, iq_r, dq_r, gq_r)):
+                    qb[t, p, 1 : L + 1, lane] = np.frombuffer(q_raw, np.uint8)
+            else:
+                qr[t, 1 : L + 1, lane] = Qr
+                mmv[t, 1 : L + 1, lane] = 1.0 - (Qi + Qd)
+                gapm[t, 1 : L + 1, lane] = 1.0 - Qg
+                qi[t, 1 : L + 1, lane] = Qi
+                qd[t, 1 : L + 1, lane] = Qd
+                qg[t, 1 : L + 1, lane] = Qg
             h = haps[jobs_h[gi]]
             hap[t, anchor - len(h) : anchor, lane] = h[::-1]
             rl[r] = L
@@ -511,6 +545,7 @@ def pack_pairhmm_batches(
                 perm=idx,
                 n_valid=len(idx),
                 bitmask_codes=bm,
+                qb=qb,
             )
         )
     packed = sum(b.n_valid for b in out)

@@ -82,3 +82,57 @@ def test_native_pack_fill_matches_python(monkeypatch):
                 np.testing.assert_array_equal(va, vb, err_msg=f.name)
             else:
                 assert va == vb, f.name
+
+
+def test_byte_qual_pack_native_matches_python(monkeypatch):
+    """byte_quals mode: the C++ byte fill and the pure-python fill must
+    produce byte-identical packs (qb planes included)."""
+    import dataclasses
+
+    import genomax.native as native
+    from genomax.io.generator import generate_pairhmm_batch
+    from genomax.pack import bucketing
+
+    if not native.available():
+        pytest.skip("native unavailable")
+
+    batch = generate_pairhmm_batch(7, 3, read_len=29, hap_len=53, seed=11)
+    nat_ph, _ = bucketing.pack_pairhmm_batches([batch], byte_quals=True)
+    monkeypatch.setattr(native, "load", lambda rebuild=False: None)
+    py_ph, _ = bucketing.pack_pairhmm_batches([batch], byte_quals=True)
+    for a_, b_ in zip(nat_ph, py_ph):
+        assert a_.qb is not None and b_.qb is not None
+        assert a_.qr is None and b_.qr is None
+        for f in dataclasses.fields(a_):
+            va, vb = getattr(a_, f.name), getattr(b_, f.name)
+            if isinstance(va, np.ndarray):
+                np.testing.assert_array_equal(va, vb, err_msg=f.name)
+            else:
+                assert va == vb, f.name
+
+
+def test_expand_byte_quals_matches_fp32_pack():
+    """Device-side expansion of raw phred bytes must reproduce the host
+    fp32 qual tables: exact for the four LUT lookups (same fp64 value
+    cast to fp32), <=1-ulp for the fp32-summed mmv/gapm, exact 0.0 at
+    every pad cell (the pad-decay invariant)."""
+    from genomax.io.generator import generate_pairhmm_batch
+    from genomax.kernels.pairhmm_pallas import expand_byte_quals
+    from genomax.pack import bucketing
+
+    batch = generate_pairhmm_batch(9, 2, read_len=41, hap_len=60, seed=3)
+    fp, _ = bucketing.pack_pairhmm_batches([batch])
+    by, _ = bucketing.pack_pairhmm_batches([batch], byte_quals=True)
+    for bf, bb in zip(fp, by):
+        qr, mmv, gapm, qi, qd, qg = (
+            np.asarray(a) for a in expand_byte_quals(bb.qb)
+        )
+        np.testing.assert_array_equal(qr, bf.qr)
+        np.testing.assert_array_equal(qi, bf.qi)
+        np.testing.assert_array_equal(qd, bf.qd)
+        np.testing.assert_array_equal(qg, bf.qg)
+        np.testing.assert_allclose(mmv, bf.mmv, rtol=2e-7, atol=0)
+        np.testing.assert_allclose(gapm, bf.gapm, rtol=2e-7, atol=0)
+        pad = bf.qr == 0.0
+        for arr in (mmv, gapm):
+            assert (arr[pad] == 0.0).all()
