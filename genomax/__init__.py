@@ -30,6 +30,29 @@ from genomax.config import SWConfig, PairHMMConfig, EngineConfig  # noqa: F401
 _CACHE_SET_UP = False
 
 
+def honor_jax_platforms() -> None:
+    """Mirror the JAX_PLATFORMS env var into jax.config (idempotent).
+
+    The tunneled-TPU PJRT plugin self-registers via sitecustomize and
+    (observed) initializes even when ``JAX_PLATFORMS=cpu`` is set — a
+    down tunnel then hangs ``jax.devices()`` in what should be a
+    CPU-only run (tests/conftest.py hit the same and works around it
+    the same way). The config API is authoritative where the env var is
+    not, so the CLI, bench.py and __graft_entry__ call this before
+    touching any backend. No-op when the env var is unset."""
+    import os
+
+    plats = os.environ.get("JAX_PLATFORMS")
+    if not plats:
+        return
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", plats)
+    except Exception:  # unknown platform string: keep jax's own error path
+        pass
+
+
 def setup_compilation_cache(path: str | None = None) -> None:
     """Enable JAX's persistent compilation cache (idempotent).
 

@@ -286,6 +286,8 @@ def main(argv=None) -> int:
     )
     import genomax as _pkg
 
+    _pkg.honor_jax_platforms()
+
     ap.add_argument("--version", action="version", version=f"genomax {_pkg.__version__}")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
