@@ -155,6 +155,12 @@ class EngineConfig:
     # chip sw_long wins — xsharded exists for pairs too big for ONE
     # chip's VMEM/HBM, where splitting the x axis is the point).
     xshard_min_len: int | None = None
+    # Nibble-compress SW code tiles for the host->device transfer when
+    # the bucket's alphabet fits 14 symbols (pack/nibble.py: scores are
+    # invariant under an alphabet remap because the kernels test codes
+    # only for equality). Halves the dominant H2D payload; the device-
+    # side expansion is elementwise and reproduces the tiles bit-exactly.
+    nibble_transfer: bool = True
 
     def resolve_backend(self) -> str:
         if self.backend != "auto":

@@ -232,6 +232,27 @@ class Engine:
     def _sw_bucket(self, b):
         import jax.numpy as jnp
 
+        # Nibble-compressed transfer (pack/nibble.py): remap the bucket
+        # alphabet to 4-bit codes and ship two sublane rows per byte,
+        # expanding bit-exactly on device. One shared LUT per dispatch —
+        # x and stream codes must remap identically for equality to
+        # survive. Falls back to raw bytes when the alphabet exceeds 14
+        # symbols (arbitrary-byte inputs) or on the lax/CPU path.
+        ship = jnp.asarray
+        if self.backend == "pallas" and self.cfg.nibble_transfer:
+            from genomax.pack.nibble import (
+                build_code_lut,
+                expand_nibbles,
+                nibble_pack,
+            )
+
+            lut = build_code_lut(b.sx, b.sy)
+            if lut is not None:
+                def ship(a):
+                    return expand_nibbles(
+                        jnp.asarray(nibble_pack(a, lut)), a.shape[1]
+                    )
+
         if self.backend == "pallas":
             from genomax.kernels.sw_pallas import (
                 sw_forward_pallas,
@@ -254,8 +275,8 @@ class Engine:
             if prep is not None:
                 (sx, sy, ndt, nyt), statics = prep
                 return sw_forward_pallas_strips(
-                    jnp.asarray(sx),
-                    jnp.asarray(sy),
+                    ship(sx),
+                    ship(sy),
                     jnp.asarray(ndt),
                     jnp.asarray(nyt),
                     cfg=self.sw_cfg,
@@ -277,8 +298,8 @@ class Engine:
             if sprep is not None:
                 (sx, sy, ndt), statics = sprep
                 return sw_forward_pallas_stacked(
-                    jnp.asarray(sx),
-                    jnp.asarray(sy),
+                    ship(sx),
+                    ship(sy),
                     jnp.asarray(ndt),
                     cfg=self.sw_cfg,
                     unroll=self.cfg.unroll,
@@ -291,8 +312,8 @@ class Engine:
                 else sw_forward_pallas
             )
             return fn(
-                jnp.asarray(b.sx),
-                jnp.asarray(b.sy),
+                ship(b.sx),
+                ship(b.sy),
                 jnp.asarray(b.ndiag_tile),
                 cfg=self.sw_cfg,
                 unroll=self.cfg.unroll,

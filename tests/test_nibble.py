@@ -1,0 +1,98 @@
+"""Nibble-compressed SW transfer (pack/nibble.py): bit-exact expansion,
+alphabet gating, and score-invariance through the engine."""
+
+import numpy as np
+import pytest
+
+from genomax.pack.nibble import build_code_lut, expand_nibbles, nibble_pack
+
+
+def _tiles(rng, nt, r, alphabet):
+    a = rng.choice(alphabet, size=(nt, r, 128)).astype(np.int8)
+    a[:, 0] = 1  # sprinkle the pad codes like real tiles do
+    a[:, -1] = 0
+    return a
+
+
+def test_roundtrip_bitexact_even_and_odd_rows():
+    rng = np.random.default_rng(0)
+    alphabet = np.frombuffer(b"ACGTN\n", np.uint8)
+    for r in (8, 13):  # even and odd row counts
+        arr = _tiles(rng, 3, r, alphabet)
+        lut = build_code_lut(arr)
+        assert lut is not None
+        got = np.asarray(expand_nibbles(nibble_pack(arr, lut), r))
+        np.testing.assert_array_equal(got, lut[arr.view(np.uint8)].astype(np.int8))
+        assert got.shape == arr.shape
+
+
+def test_lut_shared_alphabet_and_pad_fixed():
+    rng = np.random.default_rng(1)
+    a = _tiles(rng, 2, 16, np.frombuffer(b"ACGT", np.uint8))
+    b = _tiles(rng, 2, 24, np.frombuffer(b"GTN\n", np.uint8))
+    lut = build_code_lut(a, b)
+    assert lut is not None
+    assert lut[0] == 0 and lut[1] == 1
+    # bijective on the union alphabet, into 2..15
+    syms = np.unique(np.concatenate([a.reshape(-1), b.reshape(-1)]))
+    syms = syms[(syms != 0) & (syms != 1)].view(np.uint8)
+    codes = lut[syms]
+    assert len(np.unique(codes)) == len(syms)
+    assert codes.min() >= 2 and codes.max() <= 15
+
+
+def test_alphabet_too_wide_returns_none():
+    arr = np.arange(2, 20, dtype=np.int8).reshape(1, 18, 1) * np.ones(
+        (1, 18, 128), np.int8
+    )
+    assert build_code_lut(arr) is None
+
+
+@pytest.mark.parametrize("lengths", [(40, 64), (3, 200)])
+def test_engine_scores_invariant_under_nibble_transfer(lengths):
+    """pallas-interpret engine with nibble_transfer on == off, on a
+    workload that includes the trailing-'\\n' quirk bytes."""
+    from genomax.config import EngineConfig
+    from genomax.engine.executor import Engine
+    from genomax.io.formats import SWPair
+    from genomax.io.generator import random_dna
+
+    rng = np.random.default_rng(7)
+    lo, hi = lengths
+    pairs = []
+    for i in range(40):
+        sx = random_dna(rng, int(rng.integers(lo, hi)))
+        sy = random_dna(rng, int(rng.integers(lo, hi)))
+        if i % 3 == 0:  # the reference keeps the trailing newline
+            sx, sy = sx + b"\n", sy + b"\n"
+        pairs.append(SWPair(sx=sx, sy=sy))
+    on = Engine(
+        EngineConfig(backend="pallas", nibble_transfer=True), interpret=True
+    ).sw_scores(pairs)
+    off = Engine(
+        EngineConfig(backend="pallas", nibble_transfer=False), interpret=True
+    ).sw_scores(pairs)
+    np.testing.assert_array_equal(on, off)
+
+
+def test_engine_wide_alphabet_falls_back_uncompressed():
+    """>14 distinct symbols: build_code_lut declines, the engine ships
+    raw bytes, and scores still match the oracle."""
+    from genomax.config import EngineConfig
+    from genomax.engine.executor import Engine
+    from genomax.io.formats import SWPair
+    from genomax.kernels import oracle
+
+    rng = np.random.default_rng(3)
+    alpha = np.frombuffer(b"ABCDEFGHIJKLMNOPQR", np.uint8)  # 18 symbols
+    pairs = [
+        SWPair(
+            sx=rng.choice(alpha, 30).astype(np.uint8).tobytes(),
+            sy=rng.choice(alpha, 33).astype(np.uint8).tobytes(),
+        )
+        for _ in range(9)
+    ]
+    got = Engine(
+        EngineConfig(backend="pallas", nibble_transfer=True), interpret=True
+    ).sw_scores(pairs)
+    np.testing.assert_array_equal(got, oracle.sw_scores_pairs(pairs))
