@@ -170,10 +170,20 @@ def main():
         from genomax.kernels.pairhmm_pallas import expand_byte_quals
 
         quals = expand_byte_quals(jnp.asarray(bbk.qb))
-        ph_dev = (jnp.asarray(bbk.rchar),) + tuple(quals) + tuple(
-            jnp.asarray(x) for x in (bbk.hap, bbk.meta, bbk.ndiag_tile))
+        if bbk.bitmask_codes:  # 4-bit codes: ship half the bytes
+            from genomax.pack.nibble import expand_nibbles, nibble_pack_4bit
+
+            def put_codes(a):
+                return expand_nibbles(
+                    jnp.asarray(nibble_pack_4bit(a)), a.shape[1])
+        else:
+            put_codes = jnp.asarray
+        ph_dev = (put_codes(bbk.rchar),) + tuple(quals) + (
+            put_codes(bbk.hap), jnp.asarray(bbk.meta),
+            jnp.asarray(bbk.ndiag_tile))
         jax.block_until_ready(ph_dev)
-        log(f"pairhmm 65k pack+put: {time.time()-t0:.2f}s (byte-qual)")
+        log(f"pairhmm 65k pack+put: {time.time()-t0:.2f}s "
+            f"(byte-qual{' + nibble codes' if bbk.bitmask_codes else ''})")
 
     from genomax.kernels.sw_long import sw_scores_long
 

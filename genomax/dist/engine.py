@@ -175,9 +175,27 @@ class ShardedEngine:
                     (sxa, _, _, nyt_arr), st = prep
                     strips = (st["k_strips"], st["strip_w"], st["anchor"])
                     nyt = nyt_arr
+            # Nibble-compressed transfer, same contract as the local
+            # engine: ship 4-bit codes, expand AFTER placement —
+            # elementwise, so it runs SPMD on the tile-sharded array
+            # with no collectives (like expand_byte_quals below).
+            ship = self._put
+            if self.backend == "pallas" and self.cfg.nibble_transfer:
+                from genomax.pack.nibble import (
+                    build_code_lut,
+                    expand_nibbles,
+                    nibble_pack,
+                )
+
+                lut = build_code_lut(sxa, b.sy)
+                if lut is not None:
+                    def ship(a):
+                        return expand_nibbles(
+                            self._put(nibble_pack(a, lut)), a.shape[1]
+                        )
             return sw_forward_sharded(
-                self._put(sxa),
-                self._put(b.sy),
+                ship(sxa),
+                ship(b.sy),
                 self._put(b.nx.reshape(-1, 128)).reshape(-1),
                 self._put(b.ny.reshape(-1, 128)).reshape(-1),
                 self._put(b.ndiag_tile),
@@ -236,10 +254,23 @@ class ShardedEngine:
                     self._put(b.qd),
                     self._put(b.qg),
                 )
+            # Bitmask codes are 4-bit: nibble-pack rchar + the hap
+            # stream (no remap), expand post-placement like qb above.
+            ship = self._put
+            if b.bitmask_codes and self.cfg.nibble_transfer:
+                from genomax.pack.nibble import (
+                    expand_nibbles,
+                    nibble_pack_4bit,
+                )
+
+                def ship(a):
+                    return expand_nibbles(
+                        self._put(nibble_pack_4bit(a)), a.shape[1]
+                    )
             return pairhmm_forward_sharded(
-                self._put(b.rchar),
+                ship(b.rchar),
                 *quals,
-                self._put(b.hap),
+                ship(b.hap),
                 self._put(b.meta),
                 self._put(b.rl.reshape(-1, 128)).reshape(-1),
                 self._put(b.hl.reshape(-1, 128)).reshape(-1),

@@ -438,10 +438,24 @@ class Engine:
                     jnp.asarray(b.qd),
                     jnp.asarray(b.qg),
                 )
+            # Match-bitmask codes are 4-bit already, so rchar + the hap
+            # stream nibble-pack with no remap (pack/nibble.py) — on top
+            # of byte_quals that trims another ~30% off the H2D payload.
+            ship = jnp.asarray
+            if b.bitmask_codes and self.cfg.nibble_transfer:
+                from genomax.pack.nibble import (
+                    expand_nibbles,
+                    nibble_pack_4bit,
+                )
+
+                def ship(a):
+                    return expand_nibbles(
+                        jnp.asarray(nibble_pack_4bit(a)), a.shape[1]
+                    )
             return fn(
-                jnp.asarray(b.rchar),
+                ship(b.rchar),
                 *quals,
-                jnp.asarray(b.hap),
+                ship(b.hap),
                 jnp.asarray(b.meta),
                 jnp.asarray(b.ndiag_tile),
                 rescale_period=self.cfg.rescale_period,

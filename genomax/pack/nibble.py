@@ -64,6 +64,20 @@ def nibble_pack(arr: np.ndarray, lut: np.ndarray) -> np.ndarray:
     return m[:, 0::2] | (m[:, 1::2] << 4)
 
 
+def nibble_pack_4bit(arr: np.ndarray) -> np.ndarray:
+    """nibble_pack for arrays whose values are ALREADY 4-bit — the
+    PairHMM match-bitmask codes ({0,1,2,4,8,15}, pack_pairhmm_batches
+    `_bitmask_translate`): no remap, just two rows per byte. Guarded:
+    a value > 15 would silently corrupt its neighbor's high nibble, so
+    refuse loudly (one vectorized max pass)."""
+    if arr.size and int(arr.view(np.uint8).max()) > 0xF:
+        raise ValueError("nibble_pack_4bit: array has values > 15")
+    return nibble_pack(arr, _IDENTITY_LUT)
+
+
+_IDENTITY_LUT = np.arange(256, dtype=np.uint8)
+
+
 @functools.partial(jax.jit, static_argnames=("rows",))
 def expand_nibbles(packed, rows: int):
     """Device-side inverse of nibble_pack: (NT, ceil(rows/2), 128)

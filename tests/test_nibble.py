@@ -75,6 +75,61 @@ def test_engine_scores_invariant_under_nibble_transfer(lengths):
     np.testing.assert_array_equal(on, off)
 
 
+def test_nibble_pack_4bit_guards_wide_values():
+    from genomax.pack.nibble import nibble_pack_4bit
+
+    arr = np.full((1, 4, 128), 15, np.int8)
+    assert nibble_pack_4bit(arr).shape == (1, 2, 128)
+    arr[0, 1, 3] = 16
+    with pytest.raises(ValueError):
+        nibble_pack_4bit(arr)
+
+
+def test_engine_pairhmm_invariant_under_nibble_transfer():
+    """Bitmask-coded PairHMM pack: rchar/hap nibble shipping must be
+    bit-exact (identical log10s, not just close)."""
+    from genomax.config import EngineConfig
+    from genomax.engine.executor import Engine
+    from genomax.io.generator import generate_pairhmm_batch
+
+    batch = generate_pairhmm_batch(6, 3, read_len=23, hap_len=31, seed=5)
+    on = Engine(
+        EngineConfig(backend="pallas", nibble_transfer=True), interpret=True
+    ).pairhmm([batch])
+    off = Engine(
+        EngineConfig(backend="pallas", nibble_transfer=False), interpret=True
+    ).pairhmm([batch])
+    np.testing.assert_array_equal(on, off)
+
+
+def test_sharded_engine_invariant_under_nibble_transfer():
+    """Mesh paths: nibble shipping + post-placement expansion inside the
+    sharded dispatch (SW and PairHMM) must not change results."""
+    from genomax.config import EngineConfig
+    from genomax.dist.engine import ShardedEngine
+    from genomax.dist.mesh import make_mesh
+    from genomax.io.formats import SWPair
+    from genomax.io.generator import generate_pairhmm_batch, random_dna
+
+    mesh = make_mesh(2)
+    rng = np.random.default_rng(11)
+    pairs = [
+        SWPair(sx=random_dna(rng, 50), sy=random_dna(rng, 61))
+        for _ in range(10)
+    ]
+    batch = generate_pairhmm_batch(4, 2, read_len=19, hap_len=27, seed=2)
+    res = {}
+    for flag in (True, False):
+        eng = ShardedEngine(
+            mesh,
+            EngineConfig(backend="pallas", nibble_transfer=flag),
+            interpret=True,
+        )
+        res[flag] = (eng.sw_scores(pairs), eng.pairhmm([batch]))
+    np.testing.assert_array_equal(res[True][0], res[False][0])
+    np.testing.assert_array_equal(res[True][1], res[False][1])
+
+
 def test_engine_wide_alphabet_falls_back_uncompressed():
     """>14 distinct symbols: build_code_lut declines, the engine ships
     raw bytes, and scores still match the oracle."""
