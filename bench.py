@@ -28,6 +28,54 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _probe_tpu(timeout_s: float = 150.0) -> bool:
+    """True iff device init + one op completes in a SUBPROCESS.
+
+    A down axon tunnel makes the PJRT plugin HANG in device init (no
+    error, observed >240 s) — which would hang the whole driver run.
+    Probing in a child process (killed on timeout) keeps this process
+    clean: a successful probe warms the tunnel connection, a failed one
+    leaves no half-initialized backend behind."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import genomax, sys; genomax.honor_jax_platforms(); "
+             "import jax, jax.numpy as jnp; "
+             "jnp.ones(8).block_until_ready(); "
+             "sys.exit(0 if jax.default_backend() != 'cpu' else 3)"],
+            timeout=timeout_s, capture_output=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)) or None,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def require_tpu_or_exit(attempts: int = 6, sleep_s: float = 90.0) -> None:
+    """Fail FAST (exit 2) when the TPU tunnel is unreachable.
+
+    Emitting a CPU number for a TPU benchmark would be wrong, and
+    hanging in device init gives the driver nothing at all; a clear
+    refusal on stderr is the only honest artifact. Retries span ~15 min
+    in case the tunnel is flapping."""
+    for i in range(attempts):
+        t0 = time.time()
+        if _probe_tpu():
+            log(f"TPU probe OK ({time.time()-t0:.0f}s, attempt {i+1})")
+            return
+        log(f"TPU probe attempt {i+1}/{attempts} failed "
+            f"({time.time()-t0:.0f}s); device init hung or no TPU backend")
+        if i + 1 < attempts:
+            time.sleep(sleep_s)
+    log("FATAL: TPU tunnel unreachable after all attempts. This benchmark "
+        "is a TPU artifact; refusing to emit a CPU-backed number. "
+        "(Set GENOMAX_BENCH_TINY=1 + JAX_PLATFORMS=cpu for the CPU CI "
+        "contract run.)")
+    sys.exit(2)
+
+
 def main():
     import genomax
 
@@ -62,6 +110,8 @@ def main():
     # GENOMAX_BENCH_TINY=1 shrinks everything so CI can execute the full
     # driver contract (incl. the JSON line) on CPU in seconds.
     tiny = os.environ.get("GENOMAX_BENCH_TINY", "").lower() not in ("", "0", "false", "no")
+    if not tiny:
+        require_tpu_or_exit()
     import jax
 
     interp = tiny and jax.default_backend() != "tpu"
@@ -163,27 +213,22 @@ def main():
         # throughput workload).
         big = generate_pairhmm_batch(8192, 8, read_len=151, hap_len=300,
                                      seed=0, from_haps=True)
-        # byte-qual pack: ship ~50 MB of phred bytes instead of ~300 MB
-        # of fp32 tables, expand on device (the engine's production path)
-        bks, _ = pack_pairhmm_batches([big], byte_quals=True)
+        # factored pack (the engine's production path): ship each unique
+        # read/hap ONCE (~5 MB vs ~300 MB fp32 tables for 8192 reads x 8
+        # haps), rebuild the 65k job tiles on device
+        bks, _ = pack_pairhmm_batches([big], factored=True)
         bbk = bks[0]
-        from genomax.kernels.pairhmm_pallas import expand_byte_quals
+        from genomax.kernels.pairhmm_pallas import expand_factored
 
-        quals = expand_byte_quals(jnp.asarray(bbk.qb))
-        if bbk.bitmask_codes:  # 4-bit codes: ship half the bytes
-            from genomax.pack.nibble import expand_nibbles, nibble_pack_4bit
-
-            def put_codes(a):
-                return expand_nibbles(
-                    jnp.asarray(nibble_pack_4bit(a)), a.shape[1])
-        else:
-            put_codes = jnp.asarray
-        ph_dev = (put_codes(bbk.rchar),) + tuple(quals) + (
-            put_codes(bbk.hap), jnp.asarray(bbk.meta),
-            jnp.asarray(bbk.ndiag_tile))
+        ph_dev = expand_factored(
+            jnp.asarray(bbk.rchar_u), jnp.asarray(bbk.qb_u),
+            jnp.asarray(bbk.hap_u), jnp.asarray(bbk.ridx),
+            jnp.asarray(bbk.hidx),
+        ) + (jnp.asarray(bbk.meta), jnp.asarray(bbk.ndiag_tile))
         jax.block_until_ready(ph_dev)
         log(f"pairhmm 65k pack+put: {time.time()-t0:.2f}s "
-            f"(byte-qual{' + nibble codes' if bbk.bitmask_codes else ''})")
+            f"(factored: unique reads/haps + on-device gather"
+            f"{', bitmask codes' if bbk.bitmask_codes else ''})")
 
     from genomax.kernels.sw_long import sw_scores_long
 

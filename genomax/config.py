@@ -161,6 +161,14 @@ class EngineConfig:
     # only for equality). Halves the dominant H2D payload; the device-
     # side expansion is elementwise and reproduces the tiles bit-exactly.
     nibble_transfer: bool = True
+    # Factor the PairHMM read×haplotype cross-product out of the
+    # host->device transfer (pack/bucketing.py PairHMMPacked docstring):
+    # ship each unique read/haplotype once plus per-slot gather indices,
+    # rebuild the job tiles on device. ~NH-fold H2D cut on top of
+    # byte_quals for HaplotypeCaller-shaped workloads (every read scores
+    # against every haplotype, pairHMMmatrix.c:207-258). Device backends
+    # only; the lax/dense path keeps full tiles.
+    factored_transfer: bool = True
 
     def resolve_backend(self) -> str:
         if self.backend != "auto":

@@ -78,6 +78,20 @@ class ShardedEngine:
             arr.shape, sharding, lambda idx: arr[idx]
         )
 
+    def _put_replicated(self, arr):
+        """Device placement, fully replicated (the factored pack's
+        unique-row tables: every shard's gather needs all rows)."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if jax.process_count() == 1:
+            return jnp.asarray(arr)
+        sharding = NamedSharding(self.mesh, P())
+        return jax.make_array_from_callback(
+            arr.shape, sharding, lambda idx: arr[idx]
+        )
+
     # Feature parity with the single-chip Engine (VERDICT r1 #1): the
     # same offload masks, the same long-pair / native post-passes, the
     # same fp64 deep-negative fallback — every execution path must
@@ -228,6 +242,7 @@ class ShardedEngine:
             self.phmm_cfg.phred_offset,
             job_mask=None if off is None else ~off,
             byte_quals=self.backend == "pallas",
+            factored=self.backend == "pallas" and self.cfg.factored_transfer,
         )
         buckets = [pad_tiles_to(b, self.n_devices) for b in buckets]
         stats.pack_s = time.perf_counter() - t0
@@ -237,40 +252,60 @@ class ShardedEngine:
         t0 = time.perf_counter()
 
         def dispatch(b):
-            if b.qb is not None:
-                # byte_quals: expand AFTER placement — elementwise, so it
-                # runs SPMD on the tile-sharded qb with no collectives
-                from genomax.kernels.pairhmm_pallas import expand_byte_quals
+            if b.rchar_u is not None:
+                # factored pack: unique-row tables replicated, gather
+                # indices tile-sharded; the device-side rebuild
+                # (expand_factored) is a per-shard gather from the
+                # replicated tables — SPMD, no collectives.
+                from genomax.kernels.pairhmm_pallas import expand_factored
 
-                quals = expand_byte_quals(
-                    self._put(b.qb), float(self.phmm_cfg.phred_offset)
+                rchar, *quals, hap = expand_factored(
+                    self._put_replicated(b.rchar_u),
+                    self._put_replicated(b.qb_u),
+                    self._put_replicated(b.hap_u),
+                    self._put(b.ridx),
+                    self._put(b.hidx),
+                    float(self.phmm_cfg.phred_offset),
                 )
             else:
-                quals = (
-                    self._put(b.qr),
-                    self._put(b.mmv),
-                    self._put(b.gapm),
-                    self._put(b.qi),
-                    self._put(b.qd),
-                    self._put(b.qg),
-                )
-            # Bitmask codes are 4-bit: nibble-pack rchar + the hap
-            # stream (no remap), expand post-placement like qb above.
-            ship = self._put
-            if b.bitmask_codes and self.cfg.nibble_transfer:
-                from genomax.pack.nibble import (
-                    expand_nibbles,
-                    nibble_pack_4bit,
-                )
-
-                def ship(a):
-                    return expand_nibbles(
-                        self._put(nibble_pack_4bit(a)), a.shape[1]
+                if b.qb is not None:
+                    # byte_quals: expand AFTER placement — elementwise,
+                    # so it runs SPMD on the tile-sharded qb with no
+                    # collectives
+                    from genomax.kernels.pairhmm_pallas import (
+                        expand_byte_quals,
                     )
+
+                    quals = expand_byte_quals(
+                        self._put(b.qb), float(self.phmm_cfg.phred_offset)
+                    )
+                else:
+                    quals = (
+                        self._put(b.qr),
+                        self._put(b.mmv),
+                        self._put(b.gapm),
+                        self._put(b.qi),
+                        self._put(b.qd),
+                        self._put(b.qg),
+                    )
+                # Bitmask codes are 4-bit: nibble-pack rchar + the hap
+                # stream (no remap), expand post-placement like qb above.
+                ship = self._put
+                if b.bitmask_codes and self.cfg.nibble_transfer:
+                    from genomax.pack.nibble import (
+                        expand_nibbles,
+                        nibble_pack_4bit,
+                    )
+
+                    def ship(a):
+                        return expand_nibbles(
+                            self._put(nibble_pack_4bit(a)), a.shape[1]
+                        )
+                rchar, hap = ship(b.rchar), ship(b.hap)
             return pairhmm_forward_sharded(
-                ship(b.rchar),
+                rchar,
                 *quals,
-                ship(b.hap),
+                hap,
                 self._put(b.meta),
                 self._put(b.rl.reshape(-1, 128)).reshape(-1),
                 self._put(b.hl.reshape(-1, 128)).reshape(-1),

@@ -192,7 +192,7 @@ def sw_bucket_stats(stats, buckets):
 def phmm_bucket_stats(stats, buckets):
     for b in buckets:
         stats.dp_cells += int((b.rl.astype(np.int64) * b.hl).sum())
-        stats.padded_cells += int(b.rchar.shape[1]) * 128 * int(
+        stats.padded_cells += int(b.nxs) * 128 * int(
             b.ndiag_tile.astype(np.int64).sum()
         )
 
@@ -415,15 +415,34 @@ class Engine:
         if self.backend == "pallas":
             from genomax.kernels.pairhmm_pallas import (
                 expand_byte_quals,
+                expand_factored,
                 pairhmm_forward_pallas,
                 pairhmm_forward_pallas_streamed,
             )
 
             fn = (
                 pairhmm_forward_pallas_streamed
-                if b.hap.shape[1] > self.cfg.stream_vmem_rows
+                if b.nds > self.cfg.stream_vmem_rows
                 else pairhmm_forward_pallas
             )
+            if b.rchar_u is not None:
+                # factored pack: ship unique reads/haps + gather indices,
+                # rebuild the job tiles on device (HBM-rate take).
+                tiles = expand_factored(
+                    jnp.asarray(b.rchar_u), jnp.asarray(b.qb_u),
+                    jnp.asarray(b.hap_u), jnp.asarray(b.ridx),
+                    jnp.asarray(b.hidx),
+                    float(self.phmm_cfg.phred_offset),
+                )
+                return fn(
+                    *tiles,
+                    jnp.asarray(b.meta),
+                    jnp.asarray(b.ndiag_tile),
+                    rescale_period=self.cfg.rescale_period,
+                    interpret=self.interpret,
+                    mm_div=self.phmm_cfg.mm_div,
+                    bitmask=b.bitmask_codes,
+                )
             if b.qb is not None:
                 # byte_quals pack: ship raw phred bytes, expand on device
                 quals = expand_byte_quals(
@@ -507,6 +526,7 @@ class Engine:
             self.phmm_cfg.phred_offset,
             job_mask=None if off is None else ~off,
             byte_quals=self.backend == "pallas",
+            factored=self.backend == "pallas" and self.cfg.factored_transfer,
         )
         stats.pack_s = time.perf_counter() - t0
         stats.n_jobs = n

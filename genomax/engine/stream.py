@@ -98,6 +98,8 @@ def pairhmm_stream(engine, batches, chunk_batches: int = 64) -> np.ndarray:
             chunk, engine.phmm_cfg.phred_offset,
             job_mask=None if off is None else ~off,
             byte_quals=engine.backend == "pallas",
+            factored=(engine.backend == "pallas"
+                      and engine.cfg.factored_transfer),
         )
         return chunk, off, buckets, n
 

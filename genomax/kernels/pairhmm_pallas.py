@@ -66,6 +66,22 @@ def expand_byte_quals(qb, phred_offset: float = 33.0):
     return qr, mmv, gapm, qi, qd, qg
 
 
+@functools.partial(jax.jit, static_argnames=("phred_offset",))
+def expand_factored(rchar_u, qb_u, hap_u, ridx, hidx,
+                    phred_offset: float = 33.0):
+    """Rebuild job tiles from a FACTORED pack (PairHMMPacked.rchar_u /
+    qb_u / hap_u + ridx/hidx gather indices): the read×haplotype
+    cross-product ships each unique read/hap once and this gathers +
+    transposes them back into the sublane-major (NT, rows, 128) tiles —
+    on DEVICE at HBM rate, so the host ships ~NH-fold fewer bytes than
+    even the byte-qual pack. Returns (rchar, six qual tables, hap)
+    bit-identical to the unfactored tiles (tests/test_nibble.py)."""
+    rchar = jnp.swapaxes(jnp.take(rchar_u, ridx, axis=0), 1, 2)
+    qb = jnp.transpose(jnp.take(qb_u, ridx, axis=0), (0, 2, 3, 1))
+    hap = jnp.swapaxes(jnp.take(hap_u, hidx, axis=0), 1, 2)
+    return (rchar,) + expand_byte_quals(qb, phred_offset) + (hap,)
+
+
 def _kernel(
     nd_ref,
     rchar_ref,

@@ -174,16 +174,27 @@ class PairHMMPacked:
     phred+33 bytes in planes base/ins/del/gcp, pads byte 0 — and
     qr..qg are None: the engine expands qb on DEVICE
     (pairhmm_pallas.expand_byte_quals), shipping ~5.6x fewer
-    host->device bytes per batch."""
+    host->device bytes per batch.
 
-    rchar: np.ndarray
+    factored packs (byte_quals only) go further: the read×haplotype
+    cross-product (pairHMMmatrix.c:207-258 — every read scores against
+    every haplotype) means each read's bytes appear in NH job slots, so
+    the pack ships each UNIQUE read/hap once — rchar_u (NRu+1, NXs),
+    qb_u (NRu+1, 4, NXs), hap_u (NHu+1, NDs; reversed stream rows) —
+    plus per-slot gather indices ridx/hidx (NT, 128) int32 (the +1 row
+    is all-pads for padded lanes). The engine rebuilds the job tiles on
+    DEVICE (pairhmm_pallas.expand_factored: take + transpose, HBM-rate)
+    — another ~NH-fold H2D cut on top of byte_quals. rchar/qb/hap are
+    None then."""
+
+    rchar: np.ndarray | None
     qr: np.ndarray | None
     mmv: np.ndarray | None
     gapm: np.ndarray | None
     qi: np.ndarray | None
     qd: np.ndarray | None
     qg: np.ndarray | None
-    hap: np.ndarray
+    hap: np.ndarray | None
     meta: np.ndarray
     rl: np.ndarray
     hl: np.ndarray
@@ -199,10 +210,26 @@ class PairHMMPacked:
     # bytes (False) for exact reference byte-equality semantics.
     bitmask_codes: bool = False
     qb: np.ndarray | None = None
+    rchar_u: np.ndarray | None = None
+    qb_u: np.ndarray | None = None
+    hap_u: np.ndarray | None = None
+    ridx: np.ndarray | None = None
+    hidx: np.ndarray | None = None
 
     @property
     def max_diags(self) -> int:
         return int(self.ndiag_tile.max())
+
+    @property
+    def nxs(self) -> int:
+        """Sublane-window rows (read axis), valid for both pack forms."""
+        return (self.rchar if self.rchar is not None else self.rchar_u
+                ).shape[1]
+
+    @property
+    def nds(self) -> int:
+        """Stream-buffer rows (hap axis), valid for both pack forms."""
+        return (self.hap if self.hap is not None else self.hap_u).shape[1]
 
 
 def _tile_ndiags(ndiags: np.ndarray) -> np.ndarray:
@@ -226,7 +253,9 @@ def pad_tiles_to(bucket, multiple: int):
     kw = {}
     for f in dataclasses.fields(bucket):
         v = getattr(bucket, f.name)
-        if f.name in ("perm", "n_valid"):
+        if v is None:
+            kw[f.name] = None
+        elif f.name in ("perm", "n_valid"):
             kw[f.name] = v  # index into the ORIGINAL job list; never pad
         elif f.name == "ndiag_tile":
             kw[f.name] = padt(v, 1)
@@ -234,6 +263,14 @@ def pad_tiles_to(bucket, multiple: int):
             kw[f.name] = padt(v, PAD_X)
         elif f.name in ("sy", "hap"):
             kw[f.name] = padt(v, PAD_STREAM)
+        elif f.name == "ridx":
+            # Factored gather indices: pad tiles must point at the
+            # all-pad row (last), NOT row 0 (a real read's bytes).
+            kw[f.name] = padt(v, bucket.rchar_u.shape[0] - 1)
+        elif f.name == "hidx":
+            kw[f.name] = padt(v, bucket.hap_u.shape[0] - 1)
+        elif f.name in ("rchar_u", "qb_u", "hap_u"):
+            kw[f.name] = v  # unique-row tables are not tile-indexed
         elif isinstance(v, np.ndarray) and v.ndim >= 2 and v.shape[0] == nt:
             kw[f.name] = padt(v, 0)
         elif isinstance(v, np.ndarray) and v.ndim == 1 and v.shape[0] == nt * LANES:
@@ -372,6 +409,7 @@ def pack_pairhmm_batches(
     phred_offset: float = 33.0,
     job_mask=None,
     byte_quals: bool = False,
+    factored: bool = False,
 ) -> tuple[list[PairHMMPacked], int]:
     """Flatten batches into the global read-major pair list (the reference
     output order, pairHMMmatrix.c:207-258), decode phred once per read,
@@ -382,7 +420,13 @@ def pack_pairhmm_batches(
     byte_quals=True skips the phred decode entirely and packs the raw
     quality bytes into PairHMMPacked.qb for on-device expansion (see the
     dataclass docstring) — use for device backends; host consumers of
-    qr..qg must pack with the default."""
+    qr..qg must pack with the default.
+
+    factored=True (implies byte_quals) also de-duplicates the
+    cross-product: unique read/hap byte rows + per-slot gather indices,
+    rebuilt into job tiles on device (see the dataclass docstring)."""
+    if factored:
+        byte_quals = True
     from genomax import native
 
     lib = native.load()
@@ -461,6 +505,56 @@ def pack_pairhmm_batches(
             int((rlen[idx] + hlen[idx] + 1).max()) + MAX_UNROLL, STREAM_CHUNK
         )
         nds = anchor + nxs
+
+        if factored:
+            # Unique-row layout + gather indices (dataclass docstring):
+            # NRu/NHu rows of bytes, one extra all-pad row at the end
+            # for padded lanes. Row-major per read — the device gather
+            # transposes back to the sublane-major job tiles.
+            u_r, ridx_l = np.unique(jobs_r[idx], return_inverse=True)
+            u_h, hidx_l = np.unique(jobs_h[idx], return_inverse=True)
+            nru, nhu = len(u_r), len(u_h)
+            rchar_u = _full((nru + 1, nxs), PAD_X, np.int8)
+            qb_u = np.zeros((nru + 1, 4, nxs), dtype=np.int8)
+            hap_u = _full((nhu + 1, nds), PAD_STREAM, np.int8)
+            for k, ri in enumerate(u_r):
+                bases, bq_r, iq_r, dq_r, gq_r = raw_reads[ri]
+                bases = np.frombuffer(bases, np.uint8)
+                _reject_pad_codes(bases, "read bases")
+                L = len(bases)
+                rchar_u[k, 1 : L + 1] = bases
+                for p, q_raw in enumerate((bq_r, iq_r, dq_r, gq_r)):
+                    qb_u[k, p, 1 : L + 1] = np.frombuffer(q_raw, np.uint8)
+            for k, hi in enumerate(u_h):
+                h = haps[hi]
+                _reject_pad_codes(h, "haplotype")
+                hap_u[k, anchor - len(h) : anchor] = h[::-1]
+            ridx = np.full(slots, nru, dtype=np.int32)
+            hidx = np.full(slots, nhu, dtype=np.int32)
+            ridx[: len(idx)] = ridx_l
+            hidx[: len(idx)] = hidx_l
+            rl = np.zeros(slots, dtype=np.int32)
+            hl = np.ones(slots, dtype=np.int32)
+            rl[: len(idx)] = rlen[idx]
+            hl[: len(idx)] = hlen[idx]
+            ndiag = (rl.astype(np.int64) + hl + 1).astype(np.int32)
+            ndiag[len(idx):] = 1
+            bm = _bitmask_translate(rchar_u, hap_u)
+            meta = np.zeros((nt, 8, LANES), dtype=np.int32)
+            meta[:, 0, :] = rl.reshape(nt, LANES)
+            meta[:, 1, :] = hl.reshape(nt, LANES)
+            out.append(
+                PairHMMPacked(
+                    rchar=None, qr=None, mmv=None, gapm=None, qi=None,
+                    qd=None, qg=None, hap=None, meta=meta, rl=rl, hl=hl,
+                    ndiag_tile=_tile_ndiags(ndiag),
+                    perm=idx, n_valid=len(idx), bitmask_codes=bm,
+                    rchar_u=rchar_u, qb_u=qb_u, hap_u=hap_u,
+                    ridx=ridx.reshape(nt, LANES),
+                    hidx=hidx.reshape(nt, LANES),
+                )
+            )
+            continue
 
         # Tile layout written directly (see pack_sw_pairs).
         rchar = _full((nt, nxs, LANES), PAD_X, np.int8)
