@@ -151,7 +151,7 @@ def bench_pairhmm_point(n_reads: int, n_haps: int, read_len: int,
     batch = generate_pairhmm_batch(n_reads, n_haps, read_len=read_len,
                                    hap_len=hap_len, seed=seed)
     eng = Engine(EngineConfig(backend=backend))
-    buckets, n = pack_pairhmm_batches([batch])
+    buckets, n = pack_pairhmm_batches([batch], bitmask_codes=True)
     runs = []
     cells = 0
     for b in buckets:

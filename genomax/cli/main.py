@@ -14,6 +14,9 @@ Subcommands and their reference counterparts:
               engine configs, GCUPS table.
   parity    — compiles the reference C sources (read-only, from
               /root/reference or --reference-dir) and diffs outputs.
+  soak      — seeded randomized differential campaign vs the fp64
+              oracles (the reference's by-hand differential testing,
+              SURVEY.md §4, made automatic; testing/soak.py).
 """
 
 from __future__ import annotations
@@ -43,7 +46,7 @@ def _build_engine(args):
     from genomax.engine.executor import Engine
 
     cfg_kw = {}
-    if getattr(args, "max_device_len", None):
+    if getattr(args, "max_device_len", None) is not None:
         cfg_kw["max_device_len"] = args.max_device_len
     cfg = EngineConfig(
         unroll=args.unroll,
@@ -51,7 +54,8 @@ def _build_engine(args):
         xshard_min_len=getattr(args, "xshard", None),
         **cfg_kw,
     )
-    if getattr(args, "xshard", None) and not getattr(args, "devices", None):
+    if getattr(args, "xshard", None) is not None and not getattr(
+            args, "devices", None):
         raise ValueError("--xshard routes through the cross-chip wavefront; "
                          "it requires --devices N")
     sw_cfg = SWConfig(
@@ -280,6 +284,12 @@ def cmd_parity(args) -> int:
     return run_parity(reference_dir=args.reference_dir, backend=args.backend)
 
 
+def cmd_soak(args) -> int:
+    from genomax.testing import soak
+
+    return soak.main(args)
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="genomax", description="TPU-native pairwise alignment scoring engine"
@@ -340,6 +350,21 @@ def main(argv=None) -> int:
     p.add_argument("--reference-dir", default="/root/reference")
     p.add_argument("--backend", default="auto")
     p.set_defaults(fn=cmd_parity)
+
+    p = sub.add_parser(
+        "soak", help="randomized differential soak vs the fp64 oracles "
+                     "(the committed form of PERF.md's hardware campaigns)")
+    p.add_argument("--rounds", type=int, default=24)
+    p.add_argument("--seed", type=int, default=20260817)
+    p.add_argument("--deep", action="store_true",
+                   help="deep paths: ShardedEngine on a mesh + pairhmm_long "
+                        "adversarial rescale patterns")
+    p.add_argument("--devices", type=int, default=1,
+                   help="mesh size for --deep's sharded rounds")
+    p.add_argument("--backend", default="pallas")
+    p.add_argument("--interpret", action="store_true",
+                   help="Pallas interpreter mode (CPU-runnable)")
+    p.set_defaults(fn=cmd_soak)
 
     args = ap.parse_args(argv)
     try:

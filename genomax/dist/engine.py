@@ -153,8 +153,18 @@ class ShardedEngine:
                 rest[xidx] = False
                 stats.xsharded_jobs += len(xidx)
                 stats.offloaded_jobs += len(xidx)
-            except Exception:
-                pass  # rest mask still covers xidx: single-chip post-pass
+            except Exception as e:
+                # rest mask still covers xidx: single-chip post-pass
+                # scores them — but say so, or a broken xshard path
+                # looks like a working one with xsharded_jobs=0.
+                import sys
+
+                print(
+                    f"genomax: cross-chip wavefront dispatch failed "
+                    f"({e!r}); rerouting {len(xidx)} pairs through the "
+                    f"single-chip offload path",
+                    file=sys.stderr,
+                )
         if rest.any():
             Engine._sw_offload_post(self, pairs, out, rest, stats)
 
@@ -195,18 +205,10 @@ class ShardedEngine:
             # with no collectives (like expand_byte_quals below).
             ship = self._put
             if self.backend == "pallas" and self.cfg.nibble_transfer:
-                from genomax.pack.nibble import (
-                    build_code_lut,
-                    expand_nibbles,
-                    nibble_pack,
-                )
+                from genomax.pack.nibble import build_code_lut, make_shipper
 
-                lut = build_code_lut(sxa, b.sy)
-                if lut is not None:
-                    def ship(a):
-                        return expand_nibbles(
-                            self._put(nibble_pack(a, lut)), a.shape[1]
-                        )
+                ship = make_shipper(self._put,
+                                    lut=build_code_lut(sxa, b.sy))
             return sw_forward_sharded(
                 ship(sxa),
                 ship(b.sy),
@@ -243,6 +245,7 @@ class ShardedEngine:
             job_mask=None if off is None else ~off,
             byte_quals=self.backend == "pallas",
             factored=self.backend == "pallas" and self.cfg.factored_transfer,
+            bitmask_codes=True,
         )
         buckets = [pad_tiles_to(b, self.n_devices) for b in buckets]
         stats.pack_s = time.perf_counter() - t0
@@ -290,17 +293,12 @@ class ShardedEngine:
                     )
                 # Bitmask codes are 4-bit: nibble-pack rchar + the hap
                 # stream (no remap), expand post-placement like qb above.
-                ship = self._put
-                if b.bitmask_codes and self.cfg.nibble_transfer:
-                    from genomax.pack.nibble import (
-                        expand_nibbles,
-                        nibble_pack_4bit,
-                    )
+                from genomax.pack.nibble import make_shipper
 
-                    def ship(a):
-                        return expand_nibbles(
-                            self._put(nibble_pack_4bit(a)), a.shape[1]
-                        )
+                ship = make_shipper(
+                    self._put,
+                    four_bit=b.bitmask_codes and self.cfg.nibble_transfer,
+                )
                 rchar, hap = ship(b.rchar), ship(b.hap)
             return pairhmm_forward_sharded(
                 rchar,

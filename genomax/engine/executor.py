@@ -240,18 +240,9 @@ class Engine:
         # symbols (arbitrary-byte inputs) or on the lax/CPU path.
         ship = jnp.asarray
         if self.backend == "pallas" and self.cfg.nibble_transfer:
-            from genomax.pack.nibble import (
-                build_code_lut,
-                expand_nibbles,
-                nibble_pack,
-            )
+            from genomax.pack.nibble import build_code_lut, make_shipper
 
-            lut = build_code_lut(b.sx, b.sy)
-            if lut is not None:
-                def ship(a):
-                    return expand_nibbles(
-                        jnp.asarray(nibble_pack(a, lut)), a.shape[1]
-                    )
+            ship = make_shipper(jnp.asarray, lut=build_code_lut(b.sx, b.sy))
 
         if self.backend == "pallas":
             from genomax.kernels.sw_pallas import (
@@ -460,17 +451,12 @@ class Engine:
             # Match-bitmask codes are 4-bit already, so rchar + the hap
             # stream nibble-pack with no remap (pack/nibble.py) — on top
             # of byte_quals that trims another ~30% off the H2D payload.
-            ship = jnp.asarray
-            if b.bitmask_codes and self.cfg.nibble_transfer:
-                from genomax.pack.nibble import (
-                    expand_nibbles,
-                    nibble_pack_4bit,
-                )
+            from genomax.pack.nibble import make_shipper
 
-                def ship(a):
-                    return expand_nibbles(
-                        jnp.asarray(nibble_pack_4bit(a)), a.shape[1]
-                    )
+            ship = make_shipper(
+                jnp.asarray,
+                four_bit=b.bitmask_codes and self.cfg.nibble_transfer,
+            )
             return fn(
                 ship(b.rchar),
                 *quals,
@@ -527,6 +513,7 @@ class Engine:
             job_mask=None if off is None else ~off,
             byte_quals=self.backend == "pallas",
             factored=self.backend == "pallas" and self.cfg.factored_transfer,
+            bitmask_codes=True,
         )
         stats.pack_s = time.perf_counter() - t0
         stats.n_jobs = n

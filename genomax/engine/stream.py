@@ -100,6 +100,7 @@ def pairhmm_stream(engine, batches, chunk_batches: int = 64) -> np.ndarray:
             byte_quals=engine.backend == "pallas",
             factored=(engine.backend == "pallas"
                       and engine.cfg.factored_transfer),
+            bitmask_codes=True,
         )
         return chunk, off, buckets, n
 

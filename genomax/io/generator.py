@@ -98,13 +98,16 @@ def generate_pairhmm_batch(
             bases = bases.tobytes()
         else:
             bases = random_dna(rng, read_len)
+        # quals must match len(bases), which from_haps clamps to the
+        # haplotype length when read_len > hap_len
+        L = len(bases)
         reads.append(
             PairHMMRead(
                 bases=bases,
-                base_q=(rng.integers(20, 41, read_len) + 33).astype(np.uint8).tobytes(),
-                ins_q=(rng.integers(30, 46, read_len) + 33).astype(np.uint8).tobytes(),
-                del_q=(rng.integers(30, 46, read_len) + 33).astype(np.uint8).tobytes(),
-                gcp_q=(np.full(read_len, 10) + 33).astype(np.uint8).tobytes(),
+                base_q=(rng.integers(20, 41, L) + 33).astype(np.uint8).tobytes(),
+                ins_q=(rng.integers(30, 46, L) + 33).astype(np.uint8).tobytes(),
+                del_q=(rng.integers(30, 46, L) + 33).astype(np.uint8).tobytes(),
+                gcp_q=(np.full(L, 10) + 33).astype(np.uint8).tobytes(),
             )
         )
     return PairHMMBatch(reads=reads, haplotypes=haps)

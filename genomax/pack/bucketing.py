@@ -410,6 +410,7 @@ def pack_pairhmm_batches(
     job_mask=None,
     byte_quals: bool = False,
     factored: bool = False,
+    bitmask_codes: bool = False,
 ) -> tuple[list[PairHMMPacked], int]:
     """Flatten batches into the global read-major pair list (the reference
     output order, pairHMMmatrix.c:207-258), decode phred once per read,
@@ -424,7 +425,14 @@ def pack_pairhmm_batches(
 
     factored=True (implies byte_quals) also de-duplicates the
     cross-product: unique read/hap byte rows + per-slot gather indices,
-    rebuilt into job tiles on device (see the dataclass docstring)."""
+    rebuilt into job tiles on device (see the dataclass docstring).
+
+    bitmask_codes=True OPTS IN to translating ACGTN alphabets to 4-bit
+    match-bitmask codes (PairHMMPacked.bitmask_codes; cheaper kernel
+    emission + nibble-packable transfer). The default keeps the
+    historical raw-byte codes so direct kernel consumers that never
+    read the bitmask_codes flag (kernels default bitmask=False) stay
+    byte-equality-exact; the engines opt in and thread the flag."""
     if factored:
         byte_quals = True
     from genomax import native
@@ -539,7 +547,7 @@ def pack_pairhmm_batches(
             hl[: len(idx)] = hlen[idx]
             ndiag = (rl.astype(np.int64) + hl + 1).astype(np.int32)
             ndiag[len(idx):] = 1
-            bm = _bitmask_translate(rchar_u, hap_u)
+            bm = bitmask_codes and _bitmask_translate(rchar_u, hap_u)
             meta = np.zeros((nt, 8, LANES), dtype=np.int32)
             meta[:, 0, :] = rl.reshape(nt, LANES)
             meta[:, 1, :] = hl.reshape(nt, LANES)
@@ -618,7 +626,7 @@ def pack_pairhmm_batches(
             hl[r] = len(h)
         ndiag = (rl.astype(np.int64) + hl + 1).astype(np.int32)
         ndiag[len(idx):] = 1
-        bm = _bitmask_translate(rchar, hap)
+        bm = bitmask_codes and _bitmask_translate(rchar, hap)
         meta = np.zeros((nt, 8, LANES), dtype=np.int32)
         meta[:, 0, :] = rl.reshape(nt, LANES)
         meta[:, 1, :] = hl.reshape(nt, LANES)

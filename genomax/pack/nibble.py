@@ -92,3 +92,24 @@ def expand_nibbles(packed, rows: int):
         packed.shape[0], -1, packed.shape[-1]
     )
     return full[:, :rows]
+
+
+def make_shipper(put, *, lut=None, four_bit: bool = False):
+    """The one host->device shipping contract for code tiles, shared by
+    the local and sharded engines (four call sites; keeping it here
+    stops the variants drifting). `put` is the placement function
+    (jnp.asarray locally, the sharded engine's tile-sharded _put on a
+    mesh). Returns a function that nibble-compresses on host, places
+    the half-size buffer, and expands on device:
+
+    - lut: remap table from build_code_lut (SW tiles, <=14-symbol
+      alphabets; None = alphabet too wide, ships raw).
+    - four_bit: codes are already 4-bit (PairHMM match-bitmask packs),
+      pack directly with no remap.
+
+    Falls back to plain `put` when neither applies."""
+    if lut is not None:
+        return lambda a: expand_nibbles(put(nibble_pack(a, lut)), a.shape[1])
+    if four_bit:
+        return lambda a: expand_nibbles(put(nibble_pack_4bit(a)), a.shape[1])
+    return put

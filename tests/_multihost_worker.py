@@ -60,10 +60,20 @@ def main():
     eng = ShardedEngine(mesh, EngineConfig(backend="lax"))
     sw = eng.sw_scores(pairs)
     ph = eng.pairhmm([batch])
+    # Factored pallas-interpret pass: multi-process is the only place
+    # _put_replicated's make_array_from_callback branch runs (the
+    # unique-row tables must be replicated to every host's shards).
+    eng_f = ShardedEngine(
+        mesh,
+        EngineConfig(backend="pallas", factored_transfer=True),
+        interpret=True,
+    )
+    ph_f = eng_f.pairhmm([batch])
     with open(os.environ["GX_OUT"] + f".{pid}", "w") as f:
         json.dump(
             {"sw": np.asarray(sw).tolist(),
-             "ph": np.asarray(ph, np.float64).tolist()},
+             "ph": np.asarray(ph, np.float64).tolist(),
+             "ph_factored": np.asarray(ph_f, np.float64).tolist()},
             f,
         )
 

@@ -161,3 +161,21 @@ def test_cli_profile_flag_writes_trace(tmp_path, capsys, golden_dir):
     assert os.path.isdir(d)
     found = [f for _, _, fs in os.walk(d) for f in fs]
     assert found, "profiler trace produced no files"
+
+
+def test_cli_soak_smoke():
+    """`genomax soak` (the committed form of PERF.md's hardware soak
+    campaigns) runs a short seeded engine-vs-oracle campaign."""
+    rc = main(["soak", "--rounds", "3", "--backend", "lax", "--seed", "7"])
+    assert rc == 0
+
+
+def test_soak_deep_smoke():
+    """Deep soak covers ShardedEngine-on-a-mesh and the pairhmm_long
+    strip kernel (interpret mode on CPU), shrunk to suite-sized shapes."""
+    from genomax.testing.soak import run_deep_soak
+
+    rc = run_deep_soak(rounds=2, seed=11, backend="lax", interpret=True,
+                       devices=1, long_rows=(300, 380), long_cols=(90, 160),
+                       log=lambda *_: None)
+    assert rc == 0

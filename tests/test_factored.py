@@ -32,8 +32,10 @@ def test_expand_factored_matches_unfactored_tiles():
     for batch in (generate_pairhmm_batch(5, 3, read_len=21, hap_len=33,
                                          seed=3),
                   _weird(4)):
-        ref_bks, _ = pack_pairhmm_batches([batch], byte_quals=True)
-        fac_bks, _ = pack_pairhmm_batches([batch], factored=True)
+        ref_bks, _ = pack_pairhmm_batches([batch], byte_quals=True,
+                                          bitmask_codes=True)
+        fac_bks, _ = pack_pairhmm_batches([batch], factored=True,
+                                          bitmask_codes=True)
         assert len(ref_bks) == len(fac_bks)
         for rb, fb in zip(ref_bks, fac_bks):
             assert rb.bitmask_codes == fb.bitmask_codes
@@ -54,7 +56,8 @@ def test_factored_dedup_actually_dedups():
     """8 haps per read: the unique-read table holds each read ONCE
     (nru = n_reads), an ~8x transfer cut at the bench workload shape."""
     batch = generate_pairhmm_batch(6, 8, read_len=15, hap_len=19, seed=9)
-    bks, n = pack_pairhmm_batches([batch], factored=True)
+    bks, n = pack_pairhmm_batches([batch], factored=True,
+                                          bitmask_codes=True)
     assert n == 48
     assert sum(b.rchar_u.shape[0] - 1 for b in bks) == 6
     assert sum(b.hap_u.shape[0] - 1 for b in bks) == 8 * len(bks)
@@ -106,7 +109,8 @@ def test_pad_tiles_to_factored_pads_stay_all_pad():
     from genomax.pack.bucketing import PAD_STREAM, PAD_X
 
     batch = generate_pairhmm_batch(3, 2, read_len=13, hap_len=17, seed=12)
-    (b,), _ = pack_pairhmm_batches([batch], factored=True)
+    (b,), _ = pack_pairhmm_batches([batch], factored=True,
+                                          bitmask_codes=True)
     nt = b.ridx.shape[0]
     pb = pad_tiles_to(b, nt + 3)
     assert pb.ridx.shape[0] == nt + 3

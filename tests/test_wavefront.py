@@ -224,8 +224,12 @@ def test_pairhmm_bitmask_translation_and_fallback(eng):
     from genomax.pack.bucketing import pack_pairhmm_batches
 
     batch = generate_pairhmm_batch(2, 2, read_len=14, hap_len=18, seed=21)
-    bks, _ = pack_pairhmm_batches([batch])
+    bks, _ = pack_pairhmm_batches([batch], bitmask_codes=True)
     assert all(b.bitmask_codes for b in bks)
+    # translation is opt-in: a default pack keeps raw byte codes, so
+    # direct kernel consumers (kernels default bitmask=False) stay exact
+    raw, _ = pack_pairhmm_batches([batch])
+    assert not any(b.bitmask_codes for b in raw)
     got = eng.pairhmm([batch])
     np.testing.assert_allclose(got, oracle.pairhmm_batch_log10(batch),
                                atol=2e-4)
@@ -235,8 +239,35 @@ def test_pairhmm_bitmask_translation_and_fallback(eng):
     weird = generate_pairhmm_batch(2, 2, read_len=14, hap_len=18, seed=22)
     weird.reads[0].bases = b"AX" + weird.reads[0].bases[2:]
     weird.haplotypes[0] = b"XA" + weird.haplotypes[0][2:]
-    bks, _ = pack_pairhmm_batches([weird])
+    bks, _ = pack_pairhmm_batches([weird], bitmask_codes=True)
     assert not any(b.bitmask_codes for b in bks)
     got = eng.pairhmm([weird])
     np.testing.assert_allclose(got, oracle.pairhmm_batch_log10(weird),
                                atol=2e-4)
+
+
+def test_default_pack_keeps_n_wildcard_for_direct_consumers():
+    """The bitmask translation is opt-in: a DIRECT consumer of a default
+    pack + a kernel left at its default (bitmask=False) must still get
+    the reference's N-wildcard semantics. Before the opt-in gate, the
+    pack silently rewrote 'N' to code 15, the byte-mode wildcard compare
+    (== 'N' == 78) never fired, and N-containing data mis-scored."""
+    from genomax.engine.executor import flatten_tiles
+    from genomax.kernels.wavefront import phmm_forward_dense
+    from genomax.pack.bucketing import pack_pairhmm_batches
+
+    batch = generate_pairhmm_batch(2, 2, read_len=16, hap_len=20, seed=30)
+    batch.reads[0].bases = b"NN" + batch.reads[0].bases[2:]
+    batch.haplotypes[0] = b"NA" + batch.haplotypes[0][2:]
+    (b,), _ = pack_pairhmm_batches([batch])
+    assert not b.bitmask_codes
+    got = np.asarray(phmm_forward_dense(
+        flatten_tiles(b.rchar), flatten_tiles(b.qr), flatten_tiles(b.mmv),
+        flatten_tiles(b.gapm), flatten_tiles(b.qi), flatten_tiles(b.qd),
+        flatten_tiles(b.qg), flatten_tiles(b.hap),
+        np.asarray(b.rl), np.asarray(b.hl), n_diags=b.max_diags,
+    )).reshape(-1)[: b.n_valid]
+    want = oracle.pairhmm_batch_log10(batch)
+    out = np.zeros_like(want)
+    out[b.perm] = got
+    np.testing.assert_allclose(out, want, atol=2e-4)
