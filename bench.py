@@ -28,7 +28,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _probe_tpu(timeout_s: float = 150.0) -> bool:
+def _probe_tpu(timeout_s: float = 420.0) -> bool:
     """True iff device init + one op completes in a SUBPROCESS.
 
     A down axon tunnel makes the PJRT plugin HANG in device init (no
@@ -53,13 +53,16 @@ def _probe_tpu(timeout_s: float = 150.0) -> bool:
         return False
 
 
-def require_tpu_or_exit(attempts: int = 6, sleep_s: float = 90.0) -> None:
+def require_tpu_or_exit(attempts: int = 3, sleep_s: float = 240.0) -> None:
     """Fail FAST (exit 2) when the TPU tunnel is unreachable.
 
     Emitting a CPU number for a TPU benchmark would be wrong, and
     hanging in device init gives the driver nothing at all; a clear
-    refusal on stderr is the only honest artifact. Retries span ~15 min
-    in case the tunnel is flapping."""
+    refusal on stderr is the only honest artifact. Retries span ~30 min
+    in case the tunnel is flapping. Few attempts with LONG per-probe
+    patience on purpose: killing a probe mid-handshake (what the
+    subprocess timeout does) can wedge the tunnel for 10-20 minutes, so
+    rapid-fire short probes actively delay recovery."""
     for i in range(attempts):
         t0 = time.time()
         if _probe_tpu():
@@ -242,17 +245,25 @@ def main():
     # hole: a first run of a NEW bench version compiles the canary shape
     # fresh (a cache miss, not a stale hit) while the big-kernel entries
     # from a prior session can still be stale. Heal the joins the same
-    # way _run_buckets does: purge + one serial retry.
-    def healed(result, retry, what):
+    # way _run_buckets does: purge + one serial retry — but only AFTER
+    # every compile thread has quiesced, because the purge deletes the
+    # shared persistent-cache directory out from under any compile still
+    # writing its own fresh entry.
+    def healed(err, retry, what):
+        if err is None:
+            return None
+        if not _cache_suspect(err):
+            raise err
+        log(f"{what} hit a stale persistent-cache entry ({err!r}); "
+            "purging + recompiling")
+        _purge_compilation_cache()
+        return retry()
+
+    def joined(fut):
         try:
-            return result()
-        except Exception as e:
-            if not _cache_suspect(e):
-                raise
-            log(f"{what} hit a stale persistent-cache entry ({e!r}); "
-                "purging + recompiling")
-            _purge_compilation_cache()
-            return retry()
+            return fut.result(), None
+        except Exception as e:  # noqa: BLE001 — healed()/callers triage
+            return None, e
 
     t0 = time.time()
     with ThreadPoolExecutor(max_workers=4) as pool:
@@ -263,28 +274,34 @@ def main():
                 *ph_dev, interpret=interp, bitmask=bbk.bitmask_codes))
         fut_ph = pool.submit(run_ph) if ph_dev is not None else None
         fut_long = pool.submit(sw_scores_long, lpairs, interpret=interp)
-        res = healed(fut_sw.result, lambda: np.asarray(run()), "SW headline")
+        res, err_sw = joined(fut_sw)
         t_sw = time.time() - t0
-        ph_ok = eng_ok = long_ok = True
+        res_eng, err_eng = joined(fut_eng)
+        res_ph, err_ph = joined(fut_ph) if fut_ph is not None else (None, None)
+        res_long, err_long = joined(fut_long)
+    # pool exited: every thread has quiesced; purge-retries are safe now
+    ph_ok = eng_ok = long_ok = True
+    if err_sw is not None:
+        res = healed(err_sw, lambda: np.asarray(run()), "SW headline")
+    try:
+        healed(err_eng, lambda: eng.pairhmm(batches), "10s.in engine")
+    except Exception as e:
+        eng_ok = False
+        log(f"10s.in engine compile failed: {e!r}")
+    if fut_ph is not None:
         try:
-            fut_eng.result()  # the engine self-heals via _run_buckets
+            healed(err_ph, run_ph, "PairHMM production")
         except Exception as e:
-            eng_ok = False
-            log(f"10s.in engine compile failed: {e!r}")
-        if fut_ph is not None:
-            try:
-                healed(fut_ph.result, run_ph, "PairHMM production")
-            except Exception as e:
-                ph_ok = False
-                log(f"PairHMM production compile failed: {e!r}")
-        try:
-            long_score = healed(
-                fut_long.result,
-                lambda: sw_scores_long(lpairs, interpret=interp),
-                "sw_long")[0]
-        except Exception as e:
-            long_ok = False
-            log(f"sw_long compile failed: {e!r}")
+            ph_ok = False
+            log(f"PairHMM production compile failed: {e!r}")
+    try:
+        lr = healed(err_long,
+                    lambda: sw_scores_long(lpairs, interpret=interp),
+                    "sw_long")
+        long_score = (res_long if lr is None else lr)[0]
+    except Exception as e:
+        long_ok = False
+        log(f"sw_long compile failed: {e!r}")
     log(f"compile+first: SW {t_sw:.1f}s; all kernels joined "
         f"{time.time()-t0:.1f}s (parallel compile)")
     got = np.zeros(n * reps, np.int32)

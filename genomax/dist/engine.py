@@ -293,11 +293,16 @@ class ShardedEngine:
                     )
                 # Bitmask codes are 4-bit: nibble-pack rchar + the hap
                 # stream (no remap), expand post-placement like qb above.
+                # Gated on the pallas backend like the local engine and
+                # the sharded SW path — on lax/CPU meshes the pack/expand
+                # round-trip is pure overhead with nothing to compress
+                # over.
                 from genomax.pack.nibble import make_shipper
 
                 ship = make_shipper(
                     self._put,
-                    four_bit=b.bitmask_codes and self.cfg.nibble_transfer,
+                    four_bit=(b.bitmask_codes and self.cfg.nibble_transfer
+                              and self.backend == "pallas"),
                 )
                 rchar, hap = ship(b.rchar), ship(b.hap)
             return pairhmm_forward_sharded(

@@ -456,6 +456,24 @@ def pack_pairhmm_batches(
                     f"{len(rd.gcp_q)} — all five fields must match "
                     f"(pairHMMmatrix.c:214: len = (strlen-4)/5)"
                 )
+            if L:
+                qcat = np.frombuffer(
+                    rd.base_q + rd.ins_q + rd.del_q + rd.gcp_q, np.uint8)
+                if int(qcat.min()) < int(phred_offset) or qcat.max() > 127:
+                    # Loud rejection, same policy as pad codes in
+                    # sequences: a qual byte below the phred offset
+                    # decodes to an error probability > 1 in the
+                    # reference (pairHMMmatrix.c:20-30 does
+                    # 10^(-(c-33)/10) on whatever byte arrives) and >127
+                    # wraps negative through signed char — both are
+                    # malformed input that the engine's byte-shipping
+                    # and fp32-table paths would decode differently.
+                    raise ValueError(
+                        f"quality byte out of range [{int(phred_offset)}, "
+                        f"127] in read quals (got min {int(qcat.min())}, "
+                        f"max {int(qcat.max())}); phred+{int(phred_offset)} "
+                        f"qualities cannot decode to probabilities > 1"
+                    )
             raw_reads.append((rd.bases, rd.base_q, rd.ins_q, rd.del_q, rd.gcp_q))
             if lib is None and not byte_quals:
                 bases = np.frombuffer(rd.bases, np.uint8)

@@ -179,23 +179,29 @@ def run_deep_soak(rounds: int = 16, seed: int = 3_2026,
         else:  # (b) pairhmm_long adversarial rescale patterns
             L = int(rng.integers(long_rows[0], long_rows[1] + 1))
             H = int(rng.integers(long_cols[0], long_cols[1] + 1))
-            kind = rd_i % 6
+            # this branch runs on odd rounds only, so derive the adversary
+            # kind from the odd-round index — rd_i % 6 could only ever hit
+            # {1,3,5}, leaving the random-ACGTN case dead
+            kind = ((rd_i - 1) // 2) % 4
             qs = bytes((33 + rng.integers(10, 45, size=L)).astype(np.uint8))
-            if kind == 1:  # all-mismatch across every strip seam
+            if kind == 0:  # all-mismatch across every strip seam
                 bases, hap = b"A" * L, b"C" * H
-            elif kind == 3:  # N-runs crossing seams
+            elif kind == 1:  # N-runs crossing seams
                 b_arr = rng.choice(_ABC4, L)
                 b_arr[L // 3: L // 3 + min(600, L // 2)] = ord("N")
                 h_arr = rng.choice(_ABC4, H)
                 h_arr[H // 2: H // 2 + min(200, H // 3)] = ord("N")
                 bases, hap = b_arr.tobytes(), h_arr.tobytes()
-            elif kind == 5:  # mismatch block then strong match (mixed frames)
+            elif kind == 2:  # mismatch block then strong match (mixed frames)
                 half = rng.choice(_ABC4, L)
-                hap_a = (half[:H] if H <= L
+                # copy: half[:H] would otherwise VIEW half, and the
+                # deep-decay mutation below would rewrite the hap too,
+                # degenerating the pattern to all-match
+                hap_a = (half[:H].copy() if H <= L
                          else np.concatenate([half, rng.choice(_ABC4, H - L)]))
                 half[: L // 2] = ord("A")  # deep decay in early strips
                 bases, hap = half.tobytes(), hap_a.tobytes()
-            else:
+            else:  # scattered-'N' random long pairs
                 bases, hap = _seq(rng, L, _ABCN), _seq(rng, H, _ABCN)
             read = PairHMMRead(bases=bases, base_q=qs, ins_q=qs[::-1],
                                del_q=qs, gcp_q=qs)

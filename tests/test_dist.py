@@ -156,7 +156,7 @@ def test_sharded_engine_feature_parity_mixed(mesh):
         PairHMMRead(bases=b"A" * 150, base_q=q150, ins_q=q150, del_q=q150,
                     gcp_q=q150)
     )
-    qbig = bytes([30] * 600)
+    qbig = bytes([63] * 600)  # phred 30 (+33 offset; raw 30 is now rejected)
     batch.reads.append(
         PairHMMRead(bases=rng.choice(abc, 600).tobytes(), base_q=qbig,
                     ins_q=qbig, del_q=qbig, gcp_q=qbig)

@@ -165,3 +165,27 @@ def test_strips_vmem_gate_short_x_long_y():
               for _ in range(4)]
     b2 = pack_sw_pairs(pairs2)[0]
     assert maybe_prep_strips(cfg, b2) is not None
+
+
+def test_pairhmm_out_of_range_quals_rejected():
+    """Quality bytes below the phred offset (decode to error prob > 1)
+    or above 127 (wrap negative through the reference's signed char)
+    must be rejected loudly at pack time: the byte-shipping device path
+    and the fp32-table path would otherwise decode them differently and
+    silently diverge (round-3 self-review finding)."""
+    from genomax.io.formats import PairHMMBatch, PairHMMRead
+    from genomax.pack.bucketing import pack_pairhmm_batches
+
+    def batch(q):
+        rd = PairHMMRead(bases=b"ACGT", base_q=q, ins_q=b"IIII",
+                         del_q=b"IIII", gcp_q=b"++++")
+        return PairHMMBatch(reads=[rd], haplotypes=[b"ACGTA"])
+
+    for bad in (b"I\x20II", b"II\xffI"):
+        with pytest.raises(ValueError, match="quality byte out of range"):
+            pack_pairhmm_batches([batch(bad)])
+    for bad in (b"I\x20II", b"II\xffI"):
+        with pytest.raises(ValueError, match="quality byte out of range"):
+            pack_pairhmm_batches([batch(bad)], factored=True)
+    # boundary values are legal
+    pack_pairhmm_batches([batch(b"!!\x7f!")])
