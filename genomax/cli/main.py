@@ -188,20 +188,36 @@ def _pairhmm_resumable(args, eng, batches) -> int:
     from genomax.io.formats import format_pairhmm_values
 
     manifest_path = args.output + ".progress.json"
+    # Results already in the file must have been produced under the same
+    # semantics, or the resumed output silently mixes two emission
+    # models (SW scoring flags don't affect pairhmm values).
+    fp = {"gatk_emission": bool(getattr(args, "gatk_emission", False))}
     done, lines = 0, 0
     if os.path.exists(manifest_path) and os.path.exists(args.output):
         with open(manifest_path) as f:
             m = json.load(f)
-        if m.get("input") == os.path.abspath(args.input):
+        if m.get("input") != os.path.abspath(args.input):
+            pass  # different workload: restart
+        elif m.get("config", fp) != fp:
+            print("resume manifest was written with different scoring "
+                  "config; restarting from scratch", file=sys.stderr)
+        else:
             done, lines = int(m["completed_batches"]), int(m["lines"])
     # Truncate any partial tail past the last checkpointed batch.
     if done:
-        with open(args.output, "r+") as f:
-            kept = [next(f) for _ in range(lines)]
-            f.seek(0)
-            f.truncate()
+        with open(args.output) as f:
+            kept = [ln for _, ln in zip(range(lines), f)]
+        if len(kept) < lines:
+            # output shorter than the manifest claims (truncated or
+            # corrupted): the checkpoint is unusable, restart cleanly
+            print(f"output has {len(kept)} lines but manifest records "
+                  f"{lines}; restarting from scratch", file=sys.stderr)
+            done, lines, kept = 0, 0, []
+        with open(args.output, "w") as f:
             f.writelines(kept)
-        print(f"resuming at batch {done}/{len(batches)}", file=sys.stderr)
+        if done:
+            print(f"resuming at batch {done}/{len(batches)}",
+                  file=sys.stderr)
     else:
         open(args.output, "w").close()
     t0 = time.time()
@@ -212,6 +228,7 @@ def _pairhmm_resumable(args, eng, batches) -> int:
         lines += len(vals)
         with open(manifest_path, "w") as f:
             json.dump({"input": os.path.abspath(args.input),
+                       "config": fp,
                        "completed_batches": i + 1, "lines": lines}, f)
     print("elapsed %f" % (time.time() - t0))
     if args.stats and eng.last_stats is not None:
@@ -367,6 +384,21 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_soak)
 
     args = ap.parse_args(argv)
+    # Provision virtual CPU devices for ANY --devices N subcommand
+    # (sw/pairhmm/soak — not just bench-dist) before the backend
+    # initializes, so "virtual CPU devices fill in when the platform has
+    # fewer" holds everywhere the help text promises it. Only affects
+    # the host platform; harmless on real TPU meshes. No-op if the
+    # backend is already initialized (in-process test callers).
+    n_dev = getattr(args, "devices", None)
+    if isinstance(n_dev, int) and n_dev > 1:
+        import os
+
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={n_dev}"
+            ).strip()
     try:
         return args.fn(args)
     except FileNotFoundError as e:

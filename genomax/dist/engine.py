@@ -122,8 +122,6 @@ class ShardedEngine:
                         dtype=np.int64)
         rest = off.copy()
         if len(xidx):
-            import jax.numpy as jnp
-
             from genomax.dist.xsharded import (pack_sw_xsharded,
                                                sw_forward_xsharded)
             from genomax.pack.bucketing import LANES
@@ -140,7 +138,12 @@ class ShardedEngine:
                         unroll=self.cfg.unroll)
                     scores = np.asarray(sw_forward_xsharded(
                         self._put(pk.sx),
-                        jnp.asarray(pk.sy),
+                        # replicated stream: a host-local jnp.asarray is
+                        # not a global array under process_count > 1 and
+                        # would fail at dispatch, silently demoting every
+                        # huge pair to the single-chip path via the
+                        # except below
+                        self._put_replicated(pk.sy),
                         mesh=self.mesh,
                         strip_w=pk.strip_w,
                         n_diags=pk.n_diags,

@@ -613,10 +613,11 @@ class Engine:
             mask &= ~skip  # offloaded jobs are already exact fp64
         if not mask.any():
             return out
-        from genomax import native
-
-        if not native.available():
-            return out
+        # No native.available() gate: pairhmm_native degrades to the
+        # pure-python fp64 oracle on toolchain-less hosts, which is slow
+        # but CORRECT — skipping the fallback would return fp32 results
+        # wrong by up to ~9 log10 units and make `genomax soak` fail
+        # spuriously on such hosts.
         stats.fallback_jobs += int(mask.sum())
         return self._phmm_native_subset(batches, out, np.nonzero(mask)[0])
 

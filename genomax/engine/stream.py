@@ -41,6 +41,8 @@ def sw_scores_stream(engine, pairs, chunk_pairs: int = 65536) -> np.ndarray:
     """Engine.sw_scores over chunks with pack/execute overlap. Returns
     scores in input order; engine.last_stats aggregates all chunks
     (pack_s is the NON-overlapped pack time actually spent waiting)."""
+    if chunk_pairs < 1:
+        raise ValueError(f"chunk_pairs must be >= 1, got {chunk_pairs}")
     n = len(pairs)
     out = np.zeros(n, np.int32)
     stats = RunStats(n_jobs=n)
@@ -58,7 +60,6 @@ def sw_scores_stream(engine, pairs, chunk_pairs: int = 65536) -> np.ndarray:
         )
         return chunk, off, buckets
 
-    t_all = time.perf_counter()
     with ThreadPoolExecutor(max_workers=1) as pool:
         fut = pool.submit(prep, spans[0])
         for i, (s, e) in enumerate(spans):
@@ -69,11 +70,15 @@ def sw_scores_stream(engine, pairs, chunk_pairs: int = 65536) -> np.ndarray:
                 fut = pool.submit(prep, spans[i + 1])
             stats.buckets += len(buckets)
             sw_bucket_stats(stats, buckets)
+            t1 = time.perf_counter()
             results = _run_buckets("sw-stream", buckets, engine._sw_bucket)
+            # exec_s strictly around the device dispatch+fence, matching
+            # Engine.sw_scores — unpack/offload time would otherwise
+            # deflate gcups under --chunk for identical device work
+            stats.exec_s += time.perf_counter() - t1
             part = unpack_scores(buckets, results, len(chunk), np.int32)
             engine._sw_offload_post(chunk, part, off, stats)
             out[s:e] = part
-    stats.exec_s = time.perf_counter() - t_all - stats.pack_s
     engine.last_stats = stats
     return out
 
@@ -82,6 +87,8 @@ def pairhmm_stream(engine, batches, chunk_batches: int = 64) -> np.ndarray:
     """Engine.pairhmm over chunks of batches with pack/execute overlap.
     Reference output order (batches in file order, read-major within
     batch) is preserved: chunks are contiguous batch runs."""
+    if chunk_batches < 1:
+        raise ValueError(f"chunk_batches must be >= 1, got {chunk_batches}")
     spans = [
         batches[s : s + chunk_batches]
         for s in range(0, len(batches), chunk_batches)
@@ -104,7 +111,6 @@ def pairhmm_stream(engine, batches, chunk_batches: int = 64) -> np.ndarray:
         )
         return chunk, off, buckets, n
 
-    t_all = time.perf_counter()
     with ThreadPoolExecutor(max_workers=1) as pool:
         fut = pool.submit(prep, spans[0])
         for i, _ in enumerate(spans):
@@ -116,14 +122,15 @@ def pairhmm_stream(engine, batches, chunk_batches: int = 64) -> np.ndarray:
             stats.n_jobs += n
             stats.buckets += len(buckets)
             phmm_bucket_stats(stats, buckets)
+            t1 = time.perf_counter()
             results = _run_buckets(
                 "pairhmm-stream", buckets, engine._phmm_bucket)
+            stats.exec_s += time.perf_counter() - t1  # see sw_scores_stream
             part = unpack_scores(buckets, results, n, np.float32)
             part, native_done = engine._phmm_offload_post(
                 chunk, part, off, stats)
             part = engine._phmm_fallback(chunk, part, stats,
                                          skip=native_done)
             outs.append(part)
-    stats.exec_s = time.perf_counter() - t_all - stats.pack_s
     engine.last_stats = stats
     return np.concatenate(outs) if outs else np.zeros(0, np.float32)

@@ -21,9 +21,14 @@ GOLDEN_DIR = os.path.join(_REPO, "tests", "golden")
 
 
 def _have_reference(ref: str) -> bool:
-    return os.path.isfile(
-        os.path.join(ref, "pairHMM", "pairHMMmatrix.c")
-    ) and shutil.which("gcc") is not None
+    # Both sources must exist (a partial checkout would otherwise pass
+    # the gate and crash the compile step instead of falling back).
+    return (
+        os.path.isfile(os.path.join(ref, "pairHMM", "pairHMMmatrix.c"))
+        and os.path.isfile(
+            os.path.join(ref, "smithWaterman", "antidiagonalSmithWaterman.c"))
+        and shutil.which("gcc") is not None
+    )
 
 
 def compile_reference(ref: str, outdir: str) -> dict:
@@ -54,8 +59,13 @@ def run_parity(reference_dir: str = "/root/reference", backend: str = "auto") ->
     with tempfile.TemporaryDirectory() as td:
         use_ref = _have_reference(reference_dir)
         if use_ref:
-            bins = compile_reference(reference_dir, td)
-            print(f"reference binaries built from {reference_dir}")
+            try:
+                bins = compile_reference(reference_dir, td)
+                print(f"reference binaries built from {reference_dir}")
+            except (subprocess.CalledProcessError, OSError) as e:
+                print(f"reference compile failed ({e}); "
+                      "using vendored goldens")
+                use_ref = False
         else:
             print("reference sources/gcc unavailable; using vendored goldens")
 

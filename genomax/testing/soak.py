@@ -139,6 +139,18 @@ def run_deep_soak(rounds: int = 16, seed: int = 3_2026,
 
     rng = np.random.default_rng(seed)
     mesh = make_mesh(devices)
+    if not interpret:
+        import jax
+
+        if jax.default_backend() != "tpu":
+            # Every other Pallas entry point platform-guards itself
+            # (ShardedEngine downgrades, the xshard path
+            # auto-interprets); pairhmm_long below would compile a
+            # Mosaic TPU kernel on CPU and die with an opaque backend
+            # error without this.
+            log("no TPU backend: running Pallas kernels in interpreter "
+                "mode")
+            interpret = True
     log(f"mesh devices: {mesh.devices}")
     t_start = time.time()
     for rd_i in range(rounds):
@@ -181,8 +193,8 @@ def run_deep_soak(rounds: int = 16, seed: int = 3_2026,
             H = int(rng.integers(long_cols[0], long_cols[1] + 1))
             # this branch runs on odd rounds only, so derive the adversary
             # kind from the odd-round index — rd_i % 6 could only ever hit
-            # {1,3,5}, leaving the random-ACGTN case dead
-            kind = ((rd_i - 1) // 2) % 4
+            # {1,3,5}, leaving some cases dead
+            kind = ((rd_i - 1) // 2) % 5
             qs = bytes((33 + rng.integers(10, 45, size=L)).astype(np.uint8))
             if kind == 0:  # all-mismatch across every strip seam
                 bases, hap = b"A" * L, b"C" * H
@@ -192,7 +204,27 @@ def run_deep_soak(rounds: int = 16, seed: int = 3_2026,
                 h_arr = rng.choice(_ABC4, H)
                 h_arr[H // 2: H // 2 + min(200, H // 3)] = ord("N")
                 bases, hap = b_arr.tobytes(), h_arr.tobytes()
-            elif kind == 2:  # mismatch block then strong match (mixed frames)
+            elif kind == 2:
+                # Near-match read crossing seams: every OTHER kind is
+                # mismatch-dominated and lands in the want<-45 skip
+                # branch below, so this is the one kind whose value
+                # stays inside the fp32 design range and arms the
+                # err<=2e-4 accuracy gate. Read = hap prefix with one
+                # cheap (phred-20) mismatch at every other strip seam
+                # row (STRIP_W=256, kernels/pairhmm_long.py).
+                h_arr = rng.choice(_ABC4, H)
+                # gap-free fit (read longer than hap forces insertions
+                # that would push the value below -45); at production
+                # long_cols (600-2200) this crosses 1-4 seams
+                L = max(min(L, H) - 8, 16)
+                b_arr = h_arr[:L].copy()
+                q_arr = np.full(L, 33 + 40, np.uint8)
+                for r in range(256, L, 512):
+                    b_arr[r] = ord("A") if b_arr[r] != ord("A") else ord("C")
+                    q_arr[r] = 33 + 20  # ~-2 log10 each: stays above -45
+                bases, hap = b_arr.tobytes(), h_arr.tobytes()
+                qs = q_arr.tobytes()
+            elif kind == 3:  # mismatch block then strong match (mixed frames)
                 half = rng.choice(_ABC4, L)
                 # copy: half[:H] would otherwise VIEW half, and the
                 # deep-decay mutation below would rewrite the hap too,
@@ -216,6 +248,14 @@ def run_deep_soak(rounds: int = 16, seed: int = 3_2026,
                     return 1
                 stat = f"PHMM-LONG {L}x{H} kind={kind} both non-finite OK"
             elif want < -45:
+                if kind == 2:
+                    # kind 2 is CONSTRUCTED to stay above -45 — landing
+                    # here means the accuracy gate is disarmed for the
+                    # whole campaign (a design regression, not a pass)
+                    log(f"round {rd_i}: PHMM-LONG kind=2 adversary "
+                        f"unexpectedly deep ({want:.1f} < -45): the "
+                        f"accuracy gate never runs — FAIL")
+                    return 1
                 # past the fp32 design range: the ENGINE routes this to the
                 # fp64 fallback; record but don't fail the fp32 path
                 stat = (f"PHMM-LONG {L}x{H} kind={kind} deep({want:.0f}) "

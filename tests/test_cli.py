@@ -89,6 +89,45 @@ def test_cli_pairhmm_resume_ignores_other_input_manifest(tmp_path, phmm_file):
     assert len(vals) == 16
 
 
+def test_cli_pairhmm_resume_truncated_output_restarts(tmp_path, phmm_file):
+    """Output shorter than the manifest records (truncated/corrupted):
+    resume must restart cleanly, not die in StopIteration (round-3
+    self-review finding)."""
+    res = str(tmp_path / "res.out")
+    rc = main(["pairhmm", phmm_file, res, "--resume", "--backend", "lax"])
+    assert rc == 0
+    full = open(res).read()
+    m = json.load(open(res + ".progress.json"))
+    # chop the output to fewer lines than the manifest claims
+    open(res, "w").writelines(full.splitlines(True)[:2])
+    assert m["lines"] > 2
+    rc = main(["pairhmm", phmm_file, res, "--resume", "--backend", "lax"])
+    assert rc == 0
+    assert open(res).read() == full
+
+
+def test_cli_pairhmm_resume_config_mismatch_restarts(tmp_path, phmm_file,
+                                                     capsys):
+    """Resuming under a different emission model must restart from
+    scratch, not mix plain-Qr and Qr/3 values in one output file."""
+    res = str(tmp_path / "res.out")
+    rc = main(["pairhmm", phmm_file, res, "--resume", "--backend", "lax"])
+    assert rc == 0
+    plain = open(res).read()
+    rc = main(["pairhmm", phmm_file, res, "--resume", "--backend", "lax",
+               "--gatk-emission"])
+    assert rc == 0
+    assert "different scoring config" in capsys.readouterr().err
+    gatk = open(res).read()
+    assert len(gatk.splitlines()) == len(plain.splitlines())
+    assert gatk != plain  # all-Qr/3 output, no mixed prefix
+    full_gatk = str(tmp_path / "full_gatk.out")
+    rc = main(["pairhmm", phmm_file, full_gatk, "--backend", "lax",
+               "--gatk-emission"])
+    assert rc == 0
+    assert gatk == open(full_gatk).read()
+
+
 def test_cli_generate_roundtrip(tmp_path):
     """generate -> sw pipeline: seeded, parameterized (the reference's
     committed generator.py ignores its CLI args, hiprun.sh:20)."""

@@ -50,3 +50,21 @@ def test_pairhmm_stream_matches_oneshot():
     assert eng.last_stats.n_jobs == sum(
         len(b.reads) * len(b.haplotypes) for b in batches
     )
+
+
+def test_stream_rejects_nonpositive_chunk():
+    """A negative/zero chunk silently produced all-zero results before
+    (range(0, n, -5) -> no spans -> the empty-workload guard fired)."""
+    import pytest
+
+    from genomax.config import EngineConfig
+    from genomax.engine.executor import Engine
+    from genomax.io.formats import SWPair
+
+    eng = Engine(EngineConfig(backend="lax"))
+    pairs = [SWPair(sx=b"ACG\n", sy=b"ACGT\n")]
+    for bad in (0, -5):
+        with pytest.raises(ValueError, match="chunk"):
+            eng.sw_scores_stream(pairs, bad)
+        with pytest.raises(ValueError, match="chunk"):
+            eng.pairhmm_stream([], bad)
