@@ -74,6 +74,8 @@ from genomax.pack.bucketing import (
     PAD_STREAM,
     PAD_X,
     SUB_Q,
+    _full,
+    _reject_bad_read,
     _reject_pad_codes,
     _round_up,
 )
@@ -99,14 +101,15 @@ def pack_pairhmm_long(jobs, phred_offset: float = 33.0, strip_w: int = STRIP_W):
 
     # qual: 6 stacked (K*W, 128) blocks (qr, mmv, gapm, qi, qd, qg) in
     # one 2D array so per-strip slices are plain 2D row-range DMAs.
-    rchar = np.full((k * w, LANES), PAD_X, np.int8)
+    rchar = _full((k * w, LANES), PAD_X, np.int8)
     qual = np.zeros((6 * k * w, LANES), np.float32)
-    hap = np.full((ndt, LANES), PAD_STREAM, np.int8)
+    hap = _full((ndt, LANES), PAD_STREAM, np.int8)
     meta = np.zeros((8, LANES), np.int32)
     meta[1, :] = 1  # hl for dead lanes
     kw = k * w
     for l, (rd, h) in enumerate(jobs):
         L = len(rd.bases)
+        _reject_bad_read(rd, phred_offset)
         _reject_pad_codes(np.frombuffer(rd.bases, np.uint8), "read bases")
         _reject_pad_codes(np.frombuffer(h, np.uint8), "haplotype")
         rchar[1 : L + 1, l] = np.frombuffer(rd.bases, np.uint8)

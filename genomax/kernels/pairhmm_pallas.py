@@ -216,7 +216,10 @@ def pairhmm_forward_pallas(
     return out[::8]
 
 
-STREAM_CHUNK = 256  # diagonals per HBM->VMEM slab DMA (streamed variant)
+# diagonals per HBM->VMEM slab DMA (streamed variant); single source of
+# truth in genomax/layout.py — the pack's anchor quantization depends
+# on this exact value
+from genomax.kernels.wavefront import STREAM_CHUNK  # noqa: E402
 
 
 def _kernel_streamed(

@@ -44,6 +44,7 @@ from genomax.pack.bucketing import (
     PAD_STREAM,
     PAD_X,
     SUB_Q,
+    _full,
     _reject_pad_codes,
     _round_up,
 )
@@ -105,8 +106,8 @@ def pack_sw_long(pairs, strip_w: int = STRIP_W) -> SWLongPacked:
     ny_max = _round_up(max(len(p.sy) for p in pairs) + 1, CHUNK)
     sweep, anchor, ndt = _layout(ny_max, w)
 
-    sx = np.full((k * w, LANES), PAD_X, np.int8)
-    sy = np.full((ndt, LANES), PAD_STREAM, np.int8)
+    sx = _full((k * w, LANES), PAD_X, np.int8)
+    sy = _full((ndt, LANES), PAD_STREAM, np.int8)
     nx = np.ones(LANES, np.int32)
     ny = np.ones(LANES, np.int32)
     for l, p in enumerate(pairs):

@@ -32,12 +32,11 @@ import dataclasses
 from genomax.config import SWConfig
 from genomax.kernels.wavefront import (
     LANES,
+    STREAM_CHUNK,
     sw_block,
     sw_make_consts,
     sw_make_state,
 )
-
-STREAM_CHUNK = 256  # diagonals per HBM->VMEM slab DMA (streamed variant)
 
 
 def _kernel(nd_ref, sx_ref, sy_ref, out_ref, zscr, *, cfg: SWConfig,

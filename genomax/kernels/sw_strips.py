@@ -242,6 +242,13 @@ def prep_bucket_strips(bucket, strip_w: int | None = None):
         strip_w = pick_strip_w(nxs, int(nyt.max()))
         if strip_w is None:
             return None
+    elif not 1 <= strip_w <= nxs:
+        raise ValueError(
+            f"strip_w must be in [1, NXs={nxs}] (got {strip_w}): each "
+            "strip's stream-window load reads strip_w rows from a "
+            "buffer whose bounds only cover the bucket's NXs, so an "
+            "oversized strip_w reads past the buffer and silently "
+            "mis-scores (the sibling unroll knob raises the same way)")
     k = -(-nxs // strip_w)
     hs = _round_up(anchor + strip_w + 32, SUB_Q)
     vmem = (4 * hs + 2 * (k * strip_w + nds)) * LANES * 4

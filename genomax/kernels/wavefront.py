@@ -19,9 +19,11 @@ __syncthreads barriers, smithWaterman.cu:283-344 / pairHMM.cu:274-343):
     step rolls only the values it just produced (2 rolls/step for SW,
     3 for PairHMM).
   * The streamed second sequence enters as a *reversed diagonal stream*
-    buffer: the window needed at diagonal d is rows [NDs-1-d, NDs-1-d+NXs)
-    — a dynamic-offset sublane slice, which TPU loads natively (no
-    shuffle at all; lane-dim dynamic slices would need 128-alignment).
+    buffer anchored at A = NDs - NXs (sy[k] at row A-1-k): the window
+    needed at diagonal d is rows [A-d, A-d+NXs) — a dynamic-offset
+    sublane slice, which TPU loads natively (no shuffle at all;
+    lane-dim dynamic slices would need 128-alignment). See
+    stream_window below and genomax/layout.py for the bound proofs.
   * The running result (SW max / PairHMM last-row likelihood sum) is
     accumulated into a sublane *vector*; the cross-sublane reduction
     happens once at the end. Zero per-step cross-sublane reductions.
@@ -102,12 +104,11 @@ PHMM_RESCALE_LOG10 = 80 * 0.30102999566398120  # log10(2**80)
 PHMM_INIT_LOG10 = 120 * 0.30102999566398120
 _N_CODE = ord("N")
 
-# Pairs per tile: the VPU lane width. Fixed by hardware.
-LANES = 128
-# Pad codes (see module docstring): x-axis pads with 1, stream with 0
-# (zero-filled stream buffers come straight from calloc pages).
-PAD_X = 1
-PAD_STREAM = 0
+# Layout constants shared with the packers — single source of truth in
+# genomax/layout.py (re-exported here for the existing kernel imports).
+from genomax.layout import (LANES, PAD_STREAM, PAD_X,  # noqa: F401
+                            STREAM_CHUNK)
+
 # Boundary-row kill constant (module docstring): dominates any real score
 # chain yet keeps int32 adds far from wrapping.
 KILL = 1 << 28
@@ -272,6 +273,12 @@ def sw_forward_dense(
     Returns (L,) int32 scores.
     """
     del nx, ny  # lengths are encoded via pad codes; see module docstring
+    # Widen up front: the packs ship int8 code tiles, and the DP state /
+    # -KILL boundary consts below inherit the input dtype — int8 would
+    # wrap KILL=2**28 to 0 (losing the wrap-around pins) and overflow
+    # scores at 127. The Pallas wrappers widen the same way.
+    sx = sx.astype(jnp.int32)
+    sy_rev = sy_rev.astype(jnp.int32)
     roll1 = functools.partial(jnp.roll, shift=1, axis=0)
     window = functools.partial(stream_window, sy_rev, nxs=sx.shape[0])
     c = sw_make_consts(sx, window, roll1, cfg)

@@ -30,19 +30,12 @@ import numpy as np
 
 from genomax.io.phred import phred_to_error_prob
 
-# Pairs per tile (VPU lane width) and the sublane padding quantum.
-LANES = 128
-SUB_Q = 8
-# The stream buffer is padded so that the kernels' dynamic window load
-# (rows [NDs-1-d, NDs-1-d+NXs)) stays in bounds for d up to
-# ceil(n_diags/unroll)*unroll - 1, for any unroll <= MAX_UNROLL; the
-# anchor is additionally quantized to STREAM_CHUNK so the HBM-streamed
-# kernels' slab DMAs (chunk-granular) stay in bounds too.
-MAX_UNROLL = 32
-STREAM_CHUNK = 256
-
-PAD_X = 1
-PAD_STREAM = 0
+# Layout constants shared with the kernels (single source of truth:
+# genomax/layout.py — its docstring carries the window/anchor bound
+# proofs these packs rely on). Re-exported here for the existing
+# `from genomax.pack.bucketing import LANES` call sites.
+from genomax.layout import (LANES, MAX_UNROLL, PAD_STREAM,  # noqa: F401
+                            PAD_X, STREAM_CHUNK, SUB_Q)
 
 # One-hot match-bitmask code table (PairHMMPacked.bitmask_codes): byte ->
 # 4-bit base mask; N -> all four; everything else (incl. both pad codes)
@@ -94,6 +87,37 @@ def _reject_pad_codes(data: np.ndarray, what: str) -> None:
         )
 
 
+def _reject_bad_read(rd, phred_offset: float) -> None:
+    """Shared read validation for every PairHMM packer (batched, long).
+    Mismatched quality lengths and out-of-range quality bytes are
+    rejected loudly, same policy as pad codes: a qual byte below the
+    phred offset decodes to an error probability > 1 in the reference
+    (pairHMMmatrix.c:20-30 does 10^(-(c-33)/10) on whatever byte
+    arrives) and > 127 wraps negative through its signed char — both
+    malformed inputs that genomax's several decode paths (fp32 tables,
+    byte-shipping, phred LUT) would otherwise decode differently from
+    the reference and from each other."""
+    L = len(rd.bases)
+    if not (len(rd.base_q) == len(rd.ins_q) == len(rd.del_q)
+            == len(rd.gcp_q) == L):
+        raise ValueError(
+            f"read with {L} bases has quality strings of lengths "
+            f"{len(rd.base_q)}/{len(rd.ins_q)}/{len(rd.del_q)}/"
+            f"{len(rd.gcp_q)} — all five fields must match "
+            f"(pairHMMmatrix.c:214: len = (strlen-4)/5)"
+        )
+    if L:
+        qcat = np.frombuffer(
+            rd.base_q + rd.ins_q + rd.del_q + rd.gcp_q, np.uint8)
+        if int(qcat.min()) < int(phred_offset) or qcat.max() > 127:
+            raise ValueError(
+                f"quality byte out of range [{int(phred_offset)}, "
+                f"127] in read quals (got min {int(qcat.min())}, "
+                f"max {int(qcat.max())}); phred+{int(phred_offset)} "
+                f"qualities cannot decode to probabilities > 1"
+            )
+
+
 # ~x1.41 padding ladder (one octave), anchored so the common 512bp+"\n"
 # case (515 rows) lands on 544 (5.6% padding). Scaled by powers of two.
 _LADDER = (16, 24, 32, 48, 64, 96, 136, 192, 272, 384, 544, 768)
@@ -137,9 +161,10 @@ class SWPacked:
            l holds that pair's sx[p-1]; out-of-range cells pad with code
            1 (the stream pads with 0, so padded cells always mismatch and
            the kernels need no length or boundary masks at all)
-    sy   : (NT, NDs, 128) int8 — the REVERSED diagonal stream: sublane
-           NDs-2-k holds sy[k]. The window the kernel loads at diagonal d
-           is rows [NDs-1-d, NDs-1-d+NXs) — sublane s of it holds
+    sy   : (NT, NDs, 128) int8 — the REVERSED diagonal stream, anchored
+           at A = NDs - NXs (STREAM_CHUNK-quantized; genomax/layout.py):
+           sublane A-1-k holds sy[k]. The window the kernel loads at
+           diagonal d is rows [A-d, A-d+NXs) — sublane s of it holds
            sy[d-1-s], the code cell (x=s, y=d-s) compares against.
     nx,ny: (NP,) int32 — true matrix dims (len+1); padding rows use 1
     ndiag_tile: (NT,) int32 — max nx+ny-1 within each 128-pair tile
@@ -447,33 +472,7 @@ def pack_pairhmm_batches(
         r0 = len(raw_reads)
         h0 = len(haps)
         for rd in b.reads:
-            L = len(rd.bases)
-            if not (len(rd.base_q) == len(rd.ins_q) == len(rd.del_q)
-                    == len(rd.gcp_q) == L):
-                raise ValueError(
-                    f"read with {L} bases has quality strings of lengths "
-                    f"{len(rd.base_q)}/{len(rd.ins_q)}/{len(rd.del_q)}/"
-                    f"{len(rd.gcp_q)} — all five fields must match "
-                    f"(pairHMMmatrix.c:214: len = (strlen-4)/5)"
-                )
-            if L:
-                qcat = np.frombuffer(
-                    rd.base_q + rd.ins_q + rd.del_q + rd.gcp_q, np.uint8)
-                if int(qcat.min()) < int(phred_offset) or qcat.max() > 127:
-                    # Loud rejection, same policy as pad codes in
-                    # sequences: a qual byte below the phred offset
-                    # decodes to an error probability > 1 in the
-                    # reference (pairHMMmatrix.c:20-30 does
-                    # 10^(-(c-33)/10) on whatever byte arrives) and >127
-                    # wraps negative through signed char — both are
-                    # malformed input that the engine's byte-shipping
-                    # and fp32-table paths would decode differently.
-                    raise ValueError(
-                        f"quality byte out of range [{int(phred_offset)}, "
-                        f"127] in read quals (got min {int(qcat.min())}, "
-                        f"max {int(qcat.max())}); phred+{int(phred_offset)} "
-                        f"qualities cannot decode to probabilities > 1"
-                    )
+            _reject_bad_read(rd, phred_offset)
             raw_reads.append((rd.bases, rd.base_q, rd.ins_q, rd.del_q, rd.gcp_q))
             if lib is None and not byte_quals:
                 bases = np.frombuffer(rd.bases, np.uint8)

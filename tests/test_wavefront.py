@@ -271,3 +271,64 @@ def test_default_pack_keeps_n_wildcard_for_direct_consumers():
     out = np.zeros_like(want)
     out[b.perm] = got
     np.testing.assert_allclose(out, want, atol=2e-4)
+
+
+def test_sw_forward_dense_widens_int8_tiles():
+    """The dense twin must accept the packs' natural int8 tiles: the DP
+    state and -KILL boundary consts inherit the input dtype, so int8
+    would wrap KILL=2**28 to 0 and overflow scores at 127 (round-3
+    self-review finding)."""
+    import jax.numpy as jnp
+
+    from genomax.io.formats import SWPair
+    from genomax.kernels.wavefront import sw_forward_dense
+    from genomax.pack.bucketing import pack_sw_pairs
+
+    rng = np.random.default_rng(3)
+    abc = np.frombuffer(b"ATGC", np.uint8)
+    pairs = [SWPair(sx=rng.choice(abc, 40).tobytes() + b"\n",
+                    sy=rng.choice(abc, 70).tobytes() + b"\n")
+             for _ in range(6)]
+    b = pack_sw_pairs(pairs)[0]
+    sx8 = jnp.asarray(b.sx[0])          # int8, as packed
+    sy8 = jnp.asarray(b.sy[0])
+    got = np.asarray(sw_forward_dense(sx8, sy8, None, None,
+                                      int(b.ndiag_tile[0])))
+    out = np.zeros(len(pairs), np.int32)
+    out[b.perm] = got[: b.n_valid]
+    np.testing.assert_array_equal(out, oracle.sw_scores_pairs(pairs))
+
+
+def test_strips_rejects_oversized_strip_w():
+    """An explicit strip_w past the bucket's NXs would make the stream-
+    window load read past the buffer and silently mis-score; it must
+    raise like the sibling unroll knob does."""
+    from genomax.io.formats import SWPair
+    from genomax.io.generator import random_dna
+    from genomax.kernels.sw_strips import prep_bucket_strips
+    from genomax.pack.bucketing import pack_sw_pairs
+
+    rng = np.random.default_rng(4)
+    pairs = [SWPair(sx=random_dna(rng, 500), sy=random_dna(rng, 500))
+             for _ in range(4)]
+    b = pack_sw_pairs(pairs)[0]
+    with pytest.raises(ValueError, match="strip_w"):
+        prep_bucket_strips(b, strip_w=b.sx.shape[1] + 8)
+    with pytest.raises(ValueError, match="strip_w"):
+        prep_bucket_strips(b, strip_w=0)
+
+
+def test_pack_pairhmm_long_rejects_bad_quals():
+    """pack_pairhmm_long must apply the same loud qual validation as
+    pack_pairhmm_batches (shared _reject_bad_read)."""
+    from genomax.io.formats import PairHMMRead
+    from genomax.kernels.pairhmm_long import pack_pairhmm_long
+
+    rd = PairHMMRead(bases=b"ACGT", base_q=b"I\x20II", ins_q=b"IIII",
+                     del_q=b"IIII", gcp_q=b"IIII")
+    with pytest.raises(ValueError, match="quality byte out of range"):
+        pack_pairhmm_long([(rd, b"ACGTA")])
+    rd2 = PairHMMRead(bases=b"ACGT", base_q=b"III", ins_q=b"IIII",
+                      del_q=b"IIII", gcp_q=b"IIII")
+    with pytest.raises(ValueError, match="quality strings"):
+        pack_pairhmm_long([(rd2, b"ACGTA")])
