@@ -81,9 +81,11 @@ def run_scaling(device_counts, num_alignments: int, length: int,
             print(f"{n:>8}   -- {e}")
             continue
         if base is None:
-            base = r["pairs_per_s"]
+            base, base_n = r["pairs_per_s"], n
         r["speedup"] = round(r["pairs_per_s"] / base, 2)
-        r["efficiency"] = round(r["speedup"] / (n / device_counts[0]), 3)
+        # normalize to the first SUCCESSFUL point, so a skipped first
+        # count cannot make speedup and efficiency disagree
+        r["efficiency"] = round(r["speedup"] / (n / base_n), 3)
         rows.append(r)
         print(f"{n:>8} {r['elapsed_ms']:>10.1f} {r['pairs_per_s']:>12.1f} "
               f"{r['speedup']:>8.2f} {r['efficiency']:>10.3f}")

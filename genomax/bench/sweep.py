@@ -59,7 +59,18 @@ def bench_sw_point(length: int, num_alignments: int, unroll: int, backend: str,
                 sw_forward_pallas_strips,
             )
 
-            # Same routing as the engine (shared predicate).
+            # Same routing as the engine: strips (shared predicate),
+            # else streamed for big stream buffers, else resident —
+            # mirroring Engine._sw_bucket so every published point
+            # measures the kernel production actually runs. (Lengths
+            # past cfg.max_device_len would be OFFLOADED to sw_long by
+            # the engine; note it rather than silently publishing a
+            # phantom path.)
+            if length + 1 > eng.cfg.max_device_len:
+                print(f"  note: LEN={length} exceeds max_device_len="
+                      f"{eng.cfg.max_device_len}; the engine routes such "
+                      "pairs to sw_long — this point times the raw "
+                      "kernel")
             prep = maybe_prep_strips(eng.cfg, b)
             if prep is not None:
                 (sxs, sys_, ndt, nyt), statics = prep
@@ -69,12 +80,17 @@ def bench_sw_point(length: int, num_alignments: int, unroll: int, backend: str,
                         *a, unroll=unroll, **s)
                 )
                 continue
+            from genomax.kernels.sw_pallas import sw_forward_pallas_streamed
+
+            fn = (sw_forward_pallas_streamed
+                  if b.sy.shape[1] > eng.cfg.stream_vmem_rows
+                  else sw_forward_pallas)
             args = (
                 jnp.asarray(b.sx),
                 jnp.asarray(b.sy),
                 jnp.asarray(b.ndiag_tile),
             )
-            runs.append(lambda a=args: sw_forward_pallas(*a, unroll=unroll))
+            runs.append(lambda a=args, f=fn: f(*a, unroll=unroll))
         else:
             from genomax.engine.executor import flatten_tiles
 

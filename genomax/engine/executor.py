@@ -19,6 +19,11 @@ import time
 import numpy as np
 
 from genomax.config import EngineConfig, PairHMMConfig, SWConfig
+from genomax.pack.bucketing import (
+    pack_pairhmm_batches,
+    pack_sw_pairs,
+    unpack_scores,
+)
 
 
 class EngineError(RuntimeError):
@@ -81,34 +86,29 @@ def _run_buckets(stage, buckets, dispatch):
             a = getattr(b, "rchar", None)
         return None if a is None else a.shape
 
-    pending = []
-    for i, b in enumerate(buckets):
+    def _retried(i, b, first, retry):
+        # one shared retry policy for both stages: purge the persistent
+        # cache only on stale-executable signatures, retry once, then
+        # surface a structured error
         try:
-            pending.append((i, b, dispatch(b)))
+            return first()
         except Exception as e0:
             if _cache_suspect(e0):
                 _purge_compilation_cache()
             try:
-                pending.append((i, b, dispatch(b)))  # one retry
+                return retry()
             except Exception as e:
                 raise EngineError(stage, i, _shape(b), e) from e
-    results = []
-    for i, b, r in pending:
-        try:
-            results.append(np.asarray(r))
-        except Exception as e0:
-            if _cache_suspect(e0):
-                _purge_compilation_cache()
-            try:
-                results.append(np.asarray(dispatch(b)))  # one retry
-            except Exception as e:
-                raise EngineError(stage, i, _shape(b), e) from e
-    return results
-from genomax.pack.bucketing import (
-    pack_pairhmm_batches,
-    pack_sw_pairs,
-    unpack_scores,
-)
+
+    pending = [
+        (i, b, _retried(i, b, lambda: dispatch(b), lambda: dispatch(b)))
+        for i, b in enumerate(buckets)
+    ]
+    return [
+        _retried(i, b, lambda: np.asarray(r),
+                 lambda: np.asarray(dispatch(b)))
+        for i, b, r in pending
+    ]
 
 
 @dataclasses.dataclass

@@ -174,12 +174,12 @@ def parse_pairhmm_file(path: str) -> list[PairHMMBatch]:
     return batches
 
 
-def write_pairhmm_output(path: str, values) -> None:
-    """One '%f' (6-decimal) value per line, matching pairHMMmatrix.c:258."""
-    with open(path, "w") as f:
-        for v in np.asarray(values).reshape(-1):
-            f.write("%f\n" % float(v))
-
-
 def format_pairhmm_values(values) -> str:
+    """One '%f' (6-decimal) value per line, matching pairHMMmatrix.c:258.
+    The single place the reference-parity output format is encoded."""
     return "".join("%f\n" % float(v) for v in np.asarray(values).reshape(-1))
+
+
+def write_pairhmm_output(path: str, values) -> None:
+    with open(path, "w") as f:
+        f.write(format_pairhmm_values(values))

@@ -83,7 +83,6 @@ def generate_pairhmm_batch(
         haps = [h.tobytes() for h in hap_arrs]
     else:
         haps = [random_dna(rng, hap_len) for _ in range(num_haps)]
-        hap_arrs = [np.frombuffer(h, np.uint8) for h in haps]
     reads = []
     for _ in range(num_reads):
         if from_haps:
@@ -92,9 +91,7 @@ def generate_pairhmm_batch(
             bases = src[off : off + read_len].copy()
             errs = rng.random(len(bases)) < 0.005
             if errs.any():
-                bases[errs] = rng.choice(
-                    np.frombuffer(b"ACGT", np.uint8), int(errs.sum())
-                )
+                bases[errs] = rng.choice(acgt, int(errs.sum()))
             bases = bases.tobytes()
         else:
             bases = random_dna(rng, read_len)

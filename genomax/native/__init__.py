@@ -128,6 +128,15 @@ def pairhmm_native(batches, phred_offset: float = 33.0,
     gatk_emission: True = Qr/3 mismatch emission (the real GATK; see
     PairHMMConfig.gatk_emission), False = reference parity."""
     from genomax.io.phred import phred_to_error_prob
+    from genomax.pack.bucketing import _reject_bad_read
+
+    # Same loud validation as the packers. Load-bearing here, not just
+    # consistency: gx_pairhmm_batch indexes the flat quality arrays
+    # with the BASES offsets (golden.cpp), so a read whose qual strings
+    # are shorter than its bases would read past the allocation.
+    for b in batches:
+        for rd in b.reads:
+            _reject_bad_read(rd, phred_offset)
 
     lib = load()
     if lib is None:

@@ -136,3 +136,20 @@ def test_expand_byte_quals_matches_fp32_pack():
         pad = bf.qr == 0.0
         for arr in (mmv, gapm):
             assert (arr[pad] == 0.0).all()
+
+
+def test_pairhmm_native_rejects_mismatched_quals():
+    """gx_pairhmm_batch indexes the flat qual arrays with the BASES
+    offsets, so a read whose qual strings are shorter than its bases
+    would read past the allocation — the public entry point must reject
+    it loudly like the packers do (round-3 self-review finding)."""
+    import pytest
+
+    from genomax import native
+    from genomax.io.formats import PairHMMBatch, PairHMMRead
+
+    rd = PairHMMRead(bases=b"ACGT" * 10, base_q=b"I" * 8, ins_q=b"I" * 8,
+                     del_q=b"I" * 8, gcp_q=b"I" * 8)
+    with pytest.raises(ValueError, match="quality strings"):
+        native.pairhmm_native([PairHMMBatch(reads=[rd],
+                                            haplotypes=[b"ACGTA"])])
