@@ -198,7 +198,12 @@ def _pairhmm_resumable(args, eng, batches) -> int:
             m = json.load(f)
         if m.get("input") != os.path.abspath(args.input):
             pass  # different workload: restart
-        elif m.get("config", fp) != fp:
+        # Legacy manifests (pre config-fingerprint) carry no "config"
+        # key; they were all written under the historical default
+        # (reference emission), so compare against that — NOT against
+        # the current flags, which would let a pre-upgrade checkpoint
+        # silently resume under --gatk-emission (ADVICE r3).
+        elif m.get("config", {"gatk_emission": False}) != fp:
             print("resume manifest was written with different scoring "
                   "config; restarting from scratch", file=sys.stderr)
         else:
@@ -307,6 +312,12 @@ def cmd_soak(args) -> int:
     return soak.main(args)
 
 
+def cmd_probe(args) -> int:
+    from genomax.testing import probe
+
+    return probe.main(args)
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="genomax", description="TPU-native pairwise alignment scoring engine"
@@ -382,6 +393,16 @@ def main(argv=None) -> int:
     p.add_argument("--interpret", action="store_true",
                    help="Pallas interpreter mode (CPU-runnable)")
     p.set_defaults(fn=cmd_soak)
+
+    p = sub.add_parser(
+        "probe", help="one long-patience TPU-reachability probe "
+                      "(exit 0 reachable / 2 not; the ONLY safe way to "
+                      "poll the tunneled device — see testing/probe.py)")
+    p.add_argument("--timeout", type=float, default=240.0,
+                   help="seconds to wait for device init + one op "
+                        "(default 240; a hung child is abandoned, "
+                        "never killed)")
+    p.set_defaults(fn=cmd_probe)
 
     args = ap.parse_args(argv)
     # Provision virtual CPU devices for ANY --devices N subcommand

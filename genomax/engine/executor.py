@@ -14,6 +14,7 @@ Backends:
 from __future__ import annotations
 
 import dataclasses
+import sys
 import time
 
 import numpy as np
@@ -383,8 +384,19 @@ class Engine:
                         interpret=self.interpret,
                     )
                     nidx = idx[~dev_ok]
-                except Exception:
-                    nidx = idx  # device failure: whole set to native
+                except Exception as e:
+                    # Device failure: whole set reroutes to native —
+                    # but SAY so (VERDICT r3 weak #3): a sw_long
+                    # compile regression would otherwise silently turn
+                    # a ~1 s TPU dispatch into minutes of single-core
+                    # CPU with nothing in stderr to explain why.
+                    print(
+                        f"genomax: long-pair SW device kernel failed "
+                        f"({e!r}); rerouting {len(idx)} pairs to the "
+                        f"native fp64 model",
+                        file=sys.stderr,
+                    )
+                    nidx = idx
         if len(nidx):
             from genomax import native
 
@@ -570,8 +582,17 @@ class Engine:
                         mm_div=self.phmm_cfg.mm_div,
                     )
                     nat = idx[~dev_ok]
-                except Exception:
-                    nat = idx  # device failure: whole set to native
+                except Exception as e:
+                    # Same visibility contract as _sw_offload_post: a
+                    # pairhmm_long device failure must leave a trace
+                    # before the silent native reroute (VERDICT r3).
+                    print(
+                        f"genomax: long-read PairHMM device kernel "
+                        f"failed ({e!r}); rerouting {len(idx)} jobs to "
+                        f"the native fp64 model",
+                        file=sys.stderr,
+                    )
+                    nat = idx
         native_done = None
         if len(nat):
             out = self._phmm_native_subset(batches, out, nat)

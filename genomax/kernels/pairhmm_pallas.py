@@ -50,6 +50,14 @@ def expand_byte_quals(qb, phred_offset: float = 33.0):
     host packer computes 1-(Qi+Qd) in fp64 then casts; here the sum is
     fp32 — differs by <=1 ulp, far inside the 1e-4 parity envelope.
     """
+    # The pad-decay invariant below zeroes LUT entries < phred_offset;
+    # with offset < 1 NOTHING is zeroed, so a legitimate qual byte 0
+    # would collide with the byte-0 pad sentinel and mark live cells
+    # dead (ADVICE r3). No real encoding has offset < 33.
+    if phred_offset < 1.0:
+        raise ValueError(
+            f"phred_offset={phred_offset} < 1 breaks the byte-0 pad "
+            "sentinel (lut[0] must be exactly 0)")
     lut_np = np.power(10.0, -(np.arange(256) - phred_offset) / 10.0)
     lut_np[: max(0, int(np.ceil(phred_offset)))] = 0.0
     lut = jnp.asarray(lut_np.astype(np.float32))

@@ -191,6 +191,16 @@ def prep_bucket_stacked(bucket, stack: int):
     a0 = nds - h
     if stack < 2 or nt < 2:
         return None
+    if h > a0:
+        # The q=0 stream copy slices [a0-h, a0); a hand-built bucket
+        # with h > a0 would wrap to a negative start and silently
+        # mis-stack. Unreachable via pack_sw_pairs (the anchor is
+        # STREAM_CHUNK-quantized >= n_diags >= nx), but this is a
+        # public entry point — reject loudly like the sibling
+        # strip_w/unroll guards (ADVICE r3).
+        raise ValueError(
+            f"bucket sublane window h={h} exceeds the stream anchor "
+            f"a0={a0}; not a pack_sw_pairs-shaped bucket")
     if int(bucket.ny.max()) - 1 > h:  # stream codes must fit one region
         return None
     b = pad_tiles_to(bucket, stack)

@@ -218,3 +218,64 @@ def test_soak_deep_smoke():
                        devices=1, long_rows=(300, 380), long_cols=(90, 160),
                        log=lambda *_: None)
     assert rc == 0
+
+
+def test_cli_pairhmm_resume_legacy_manifest_restarts(tmp_path, phmm_file,
+                                                     capsys):
+    """A pre-config-fingerprint manifest (no 'config' key) was written
+    under the historical default (reference emission). Resuming under
+    --gatk-emission must restart, not silently adopt the new flags
+    (ADVICE r3)."""
+    import json as _json
+
+    res = str(tmp_path / "res.out")
+    rc = main(["pairhmm", phmm_file, res, "--resume", "--backend", "lax"])
+    assert rc == 0
+    plain = open(res).read()
+    # Strip the config key, simulating a legacy manifest.
+    man = res + ".progress.json"
+    m = _json.load(open(man))
+    del m["config"]
+    _json.dump(m, open(man, "w"))
+    # Same flags as the historical default: resume is allowed (no-op run).
+    rc = main(["pairhmm", phmm_file, res, "--resume", "--backend", "lax"])
+    assert rc == 0
+    assert open(res).read() == plain
+    # Different emission: must restart from scratch.
+    _json.dump(m, open(man, "w"))
+    capsys.readouterr()
+    rc = main(["pairhmm", phmm_file, res, "--resume", "--backend", "lax",
+               "--gatk-emission"])
+    assert rc == 0
+    assert "different scoring config" in capsys.readouterr().err
+    assert open(res).read() != plain
+
+
+def test_cli_probe_cpu_refusal(capsys):
+    """`genomax probe` under JAX_PLATFORMS=cpu: the child resolves to
+    the CPU backend, so the verdict is 'not reachable' (exit 2) with
+    the heartbeat printed BEFORE the child starts — the property that
+    makes an outer-watchdog kill still leave the cause in the tail."""
+    rc = main(["probe", "--timeout", "120"])
+    err = capsys.readouterr().err
+    assert rc == 2
+    assert "TPU probe: single attempt" in err
+    assert "CPU" in err or "cpu" in err
+
+
+def test_module_entry_propagates_exit_code():
+    """`python -m genomax` must propagate the CLI's return code —
+    the judged contract (`python -m genomax parity`) and the probe
+    subcommand are meaningless if rc is swallowed (caught by the r4
+    verify pass: __main__.py called main() without sys.exit)."""
+    import subprocess
+    import sys as _sys
+
+    r = subprocess.run(
+        [_sys.executable, "-m", "genomax", "sw", "/definitely/missing.in"],
+        capture_output=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        timeout=120,
+    )
+    assert r.returncode == 2, (r.returncode, r.stderr[-200:])

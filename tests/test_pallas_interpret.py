@@ -409,3 +409,40 @@ def test_engine_stacked_routing_interpret():
     e2 = Engine(EngineConfig(backend="pallas", sw_stack=4), interpret=True)
     got = e2.sw_scores(pairs)
     np.testing.assert_array_equal(got, oracle.sw_scores_pairs(pairs))
+
+
+def test_sw_stacked_rejects_window_past_anchor():
+    """h > a0 would make the q=0 stream copy wrap to a negative slice
+    start and silently mis-stack; public entry points must reject the
+    hand-built bucket loudly (ADVICE r3). Unreachable via pack_sw_pairs
+    (the anchor is STREAM_CHUNK-quantized >= nx)."""
+    import dataclasses
+
+    import pytest
+
+    from genomax.kernels.sw_stacked import prep_bucket_stacked
+    from genomax.pack.bucketing import pack_sw_pairs
+
+    rng = np.random.default_rng(47)
+    abc = np.frombuffer(b"ATGC", np.uint8)
+    pairs = [SWPair(sx=rng.choice(abc, 40).tobytes(),
+                    sy=rng.choice(abc, 30).tobytes())
+             for _ in range(256)]
+    b = pack_sw_pairs(pairs)[0]
+    bad = dataclasses.replace(b, sy=b.sy[:, : b.sx.shape[1] - 1, :])
+    with pytest.raises(ValueError, match="stream anchor"):
+        prep_bucket_stacked(bad, 2)
+
+
+def test_expand_byte_quals_rejects_offset_below_one():
+    """phred_offset < 1 breaks the byte-0 pad sentinel (lut[0] would be
+    1.0, so pads stop decaying and legit qual 0 marks cells dead)."""
+    import pytest
+
+    import jax.numpy as jnp
+
+    from genomax.kernels.pairhmm_pallas import expand_byte_quals
+
+    qb = np.zeros((1, 4, 8, 128), np.int8)
+    with pytest.raises(ValueError, match="pad"):
+        expand_byte_quals(jnp.asarray(qb), phred_offset=0.0)
