@@ -66,6 +66,7 @@ def _build_engine(args):
     )
     phmm_cfg = PairHMMConfig(
         gatk_emission=getattr(args, "gatk_emission", False),
+        scaled_recurrence=getattr(args, "scaled_recurrence", False),
     )
     if getattr(args, "chunk", None) and getattr(args, "devices", None):
         raise ValueError("--chunk streams through the local engine; "
@@ -108,6 +109,10 @@ def _add_engine_args(p):
                         "of the reference's plain Qr "
                         "(PairHMMConfig.gatk_emission; changes PairHMM "
                         "outputs vs the reference binaries)")
+    p.add_argument("--scaled-recurrence", action="store_true",
+                   help="opt-in PairHMM scaled-recurrence step (fewer "
+                        "multiplies; PairHMMConfig.scaled_recurrence — "
+                        "identical semantics to fp32 rounding, soak-gated)")
     p.add_argument("--stats", action="store_true", help="print JSON run stats to stderr")
     p.add_argument("--profile", metavar="DIR",
                    help="capture a jax.profiler trace of the run into DIR "
@@ -263,7 +268,8 @@ def cmd_bench(args) -> int:
         for spec in args.pairhmm_points.split(";"):
             nr, nh, rl, hl = (int(x) for x in spec.split(","))
             pts.append((nr, nh, rl, hl))
-        run_pairhmm_sweep(pts, backend=args.backend, json_out=args.json)
+        run_pairhmm_sweep(pts, backend=args.backend, json_out=args.json,
+                          scaled=getattr(args, "scaled_recurrence", False))
         return 0
     from genomax.bench.sweep import run_sweep
 
@@ -361,6 +367,9 @@ def main(argv=None) -> int:
     p.add_argument("--unrolls", default="8,16,32")
     p.add_argument("--num", type=int, default=25000, help="alignments per point")
     p.add_argument("--backend", default="auto")
+    p.add_argument("--scaled-recurrence", action="store_true",
+                   help="pairhmm points use the scaled-recurrence step "
+                        "(the r4 measurement lever, DESIGN §3b)")
     p.add_argument("--json", help="write results as JSON to this path")
     p.set_defaults(fn=cmd_bench)
 

@@ -159,7 +159,7 @@ def _make_dense_jits():
     sw = _jax.jit(sw_forward_dense, static_argnames=("n_diags", "cfg"))
     ph = _jax.jit(phmm_forward_dense,
                   static_argnames=("n_diags", "rescale_period", "mm_div",
-                                   "bitmask"))
+                                   "bitmask", "scaled"))
     return sw, ph
 
 
@@ -445,6 +445,7 @@ class Engine:
                     interpret=self.interpret,
                     mm_div=self.phmm_cfg.mm_div,
                     bitmask=b.bitmask_codes,
+                    scaled=self.phmm_cfg.scaled_recurrence,
                 )
             if b.qb is not None:
                 # byte_quals pack: ship raw phred bytes, expand on device
@@ -479,6 +480,7 @@ class Engine:
                 interpret=self.interpret,
                 mm_div=self.phmm_cfg.mm_div,
                 bitmask=b.bitmask_codes,
+                scaled=self.phmm_cfg.scaled_recurrence,
             )
 
         return _phmm_dense_jit(
@@ -497,6 +499,7 @@ class Engine:
             rescale_period=self.cfg.rescale_period,
             mm_div=self.phmm_cfg.mm_div,
             bitmask=b.bitmask_codes,
+            scaled=self.phmm_cfg.scaled_recurrence,
         )
 
     def _phmm_offload_mask(self, batches):

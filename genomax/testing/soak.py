@@ -87,7 +87,11 @@ def run_soak(rounds: int = 60, seed: int = 20260817, backend: str = "pallas",
                 return 1
         else:  # PairHMM round
             gatk = rng.random() < 0.5
-            pcfg = PairHMMConfig(gatk_emission=gatk)
+            # scaled recurrence joins the rotation (r4, VERDICT ask #6):
+            # opt-in flag, so the soak is its gate before any routing.
+            scaled = rng.random() < 0.5
+            pcfg = PairHMMConfig(gatk_emission=gatk,
+                                 scaled_recurrence=scaled)
             nr, nh = int(rng.integers(1, 5)), int(rng.integers(1, 4))
             rl_hi = int(rng.integers(10, min(260, max_len)))
             hl_hi = int(rng.integers(10, min(400, max_len)))
@@ -112,6 +116,7 @@ def run_soak(rounds: int = 60, seed: int = 20260817, backend: str = "pallas",
             nan_ok = (bool(np.all(~np.isfinite(got[~finite])))
                       if (~finite).any() else True)
             stat = (f"PHMM {nr}x{nh} rl<={rl_hi} hl<={hl_hi} gatk={gatk} "
+                    f"scaled={scaled} "
                     f"err={worst:.1e} fb={e.last_stats.fallback_jobs}")
             if worst > 2e-4 or not nan_ok:
                 log(f"round {rd_i}: {stat} FAIL")
