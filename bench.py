@@ -91,6 +91,16 @@ def main():
         require_tpu_or_exit()
     import jax
 
+    # Attribute the per-process init floor explicitly (VERDICT r2/r3
+    # ask: the dominant "cold" cost is plugin/device init, 20-290 s on
+    # this tunnel — NOT kernel compiles; see PERF.md §Compile latency).
+    # The probe above already warmed the tunnel connection, so this
+    # times THIS process's own backend bring-up + first trivial op.
+    t0 = time.time()
+    jnp.zeros(8).block_until_ready()
+    log(f"plugin/device init + first trivial op: {time.time()-t0:.1f}s "
+        f"(backend={jax.default_backend()})")
+
     interp = tiny and jax.default_backend() != "tpu"
     rng = np.random.default_rng(0)
     n, L, reps = (128, 32, 1) if tiny else (25000, 512, 4)

@@ -279,3 +279,46 @@ def test_module_entry_propagates_exit_code():
         timeout=120,
     )
     assert r.returncode == 2, (r.returncode, r.stderr[-200:])
+
+
+def test_bench_refuses_without_tpu(monkeypatch, capsys):
+    """require_tpu_or_exit: ONE probe, immediate exit 2 with the
+    refusal on stderr — the contract that makes an empty rc=124 driver
+    artifact impossible (VERDICT r3 ask #1: the r3 probe/retry budget
+    exceeded the driver window and produced nothing)."""
+    import importlib
+
+    import bench
+    import genomax.testing.probe as probe_mod
+
+    importlib.reload(bench)
+    calls = []
+
+    def fake_probe(timeout_s, log=None):
+        calls.append(timeout_s)
+        (log or print)("TPU probe: single attempt (fake)")
+        return False, "fake: tunnel down"
+
+    monkeypatch.setattr(probe_mod, "probe_tpu", fake_probe)
+    with pytest.raises(SystemExit) as e:
+        bench.require_tpu_or_exit()
+    assert e.value.code == 2
+    assert len(calls) == 1  # exactly one attempt, no retry loop
+    err = capsys.readouterr().err
+    assert "refusing to emit a CPU-backed number" in err
+    assert "fake: tunnel down" in err
+
+
+def test_probe_timeout_abandons_child():
+    """A probe that cannot finish inside its budget returns (False,
+    'timed out...') and leaves the child UNKILLED (kills mid-handshake
+    can wedge the tunnel — the blessed-probe invariant)."""
+    from genomax.testing.probe import probe_tpu
+
+    msgs = []
+    ok, detail = probe_tpu(0.05, log=msgs.append)
+    assert not ok
+    assert "timed out" in detail and "unkilled" in detail
+    # heartbeat printed BEFORE the child starts
+    assert any("single attempt" in m for m in msgs)
+    assert msgs[0].startswith("TPU probe:")
