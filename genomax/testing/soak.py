@@ -168,7 +168,12 @@ def run_deep_soak(rounds: int = 16, seed: int = 3_2026,
                 if len(a) > len(b):
                     a, b = b, a
                 pairs.append(SWPair(sx=a, sy=b))
+            scaled = rng.random() < 0.5  # scaled recurrence in rotation
+            from genomax.config import PairHMMConfig
+
             dist = ShardedEngine(mesh, EngineConfig(backend=backend),
+                                 phmm_cfg=PairHMMConfig(
+                                     scaled_recurrence=scaled),
                                  interpret=interpret)
             got = dist.sw_scores(pairs)
             want = oracle.sw_scores_pairs(pairs)
@@ -192,6 +197,7 @@ def run_deep_soak(rounds: int = 16, seed: int = 3_2026,
                 log(f"round {rd_i}: SHARDED PHMM err={worst:.1e} FAIL")
                 return 1
             stat = (f"SHARDED-{devices}dev sw n={len(pairs)} phmm {nr}x{nh} "
+                    f"scaled={scaled} "
                     f"err={worst:.1e} gcups={dist.last_stats.gcups:.1f}")
         else:  # (b) pairhmm_long adversarial rescale patterns
             L = int(rng.integers(long_rows[0], long_rows[1] + 1))
