@@ -28,7 +28,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def require_tpu_or_exit(timeout_s: float = 240.0) -> None:
+def require_tpu_or_exit(timeout_s: float = 420.0) -> None:
     """Fail FAST (exit 2) when the TPU tunnel is unreachable.
 
     Emitting a CPU number for a TPU benchmark would be wrong, and

@@ -196,19 +196,24 @@ def _pairhmm_resumable(args, eng, batches) -> int:
     # Results already in the file must have been produced under the same
     # semantics, or the resumed output silently mixes two emission
     # models (SW scoring flags don't affect pairhmm values).
-    fp = {"gatk_emission": bool(getattr(args, "gatk_emission", False))}
+    fp = {"gatk_emission": bool(getattr(args, "gatk_emission", False)),
+          "scaled_recurrence": bool(getattr(args, "scaled_recurrence",
+                                            False))}
     done, lines = 0, 0
     if os.path.exists(manifest_path) and os.path.exists(args.output):
         with open(manifest_path) as f:
             m = json.load(f)
+        # Legacy manifests predate some fingerprint keys; every missing
+        # key was written under its historical default (False), so
+        # normalize to that — NOT to the current flags, which would let
+        # a pre-upgrade checkpoint silently resume under new semantics
+        # (ADVICE r3; scaled_recurrence joined the fingerprint in r4
+        # because the two steps differ inside the fp32 envelope).
+        mcfg = m.get("config", {})
+        mcfg = {k: bool(mcfg.get(k, False)) for k in fp}
         if m.get("input") != os.path.abspath(args.input):
             pass  # different workload: restart
-        # Legacy manifests (pre config-fingerprint) carry no "config"
-        # key; they were all written under the historical default
-        # (reference emission), so compare against that — NOT against
-        # the current flags, which would let a pre-upgrade checkpoint
-        # silently resume under --gatk-emission (ADVICE r3).
-        elif m.get("config", {"gatk_emission": False}) != fp:
+        elif mcfg != fp:
             print("resume manifest was written with different scoring "
                   "config; restarting from scratch", file=sys.stderr)
         else:
@@ -407,10 +412,11 @@ def main(argv=None) -> int:
         "probe", help="one long-patience TPU-reachability probe "
                       "(exit 0 reachable / 2 not; the ONLY safe way to "
                       "poll the tunneled device — see testing/probe.py)")
-    p.add_argument("--timeout", type=float, default=240.0,
+    p.add_argument("--timeout", type=float, default=420.0,
                    help="seconds to wait for device init + one op "
-                        "(default 240; a hung child is abandoned, "
-                        "never killed)")
+                        "(default 420 — above the measured healthy "
+                        "cold-init ceiling ~290 s; a hung child is "
+                        "abandoned, never killed)")
     p.set_defaults(fn=cmd_probe)
 
     args = ap.parse_args(argv)

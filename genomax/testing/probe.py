@@ -30,7 +30,12 @@ import subprocess
 import sys
 import time
 
-DEFAULT_TIMEOUT_S = 240.0
+# Must exceed the measured HEALTHY cold-init ceiling (~290 s per-process
+# plugin init on this tunnel, PERF.md §Compile latency: 22/33/153/288 s
+# measured) or a slow-but-alive tunnel gets a false refusal. One attempt
+# at 420 s fits the driver window fine — r3's failure was 3 attempts x
+# 420 s + 2 x 240 s sleeps, not the single probe length.
+DEFAULT_TIMEOUT_S = 420.0
 
 # The child: init the backend, run one op, report the backend name.
 # honor_jax_platforms first, so JAX_PLATFORMS=cpu callers get an honest
@@ -64,11 +69,11 @@ def probe_tpu(timeout_s: float = DEFAULT_TIMEOUT_S, *, log=None) -> tuple[bool, 
         os.path.abspath(__file__))))
     child = subprocess.Popen(
         [sys.executable, "-c", _CHILD],
-        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE,
         cwd=repo, start_new_session=True,  # survives us; never signalled
     )
     try:
-        out, _ = child.communicate(timeout=timeout_s)
+        out, err = child.communicate(timeout=timeout_s)
     except subprocess.TimeoutExpired:
         detail = (f"TPU probe timed out after {time.time()-t0:.0f}s; "
                   f"device init is hung (tunnel down). Child pid "
@@ -88,8 +93,12 @@ def probe_tpu(timeout_s: float = DEFAULT_TIMEOUT_S, *, log=None) -> tuple[bool, 
         detail = (f"TPU probe: backend resolved to CPU in {dt:.0f}s "
                   "(no TPU plugin, or JAX_PLATFORMS=cpu)")
     else:
+        # Real init ERROR (vs hang): the cause must reach the caller's
+        # tail — it is the only diagnostic bench.py leaves behind.
+        tail = (err or b"").decode(errors="replace").strip()
+        tail = " | ".join(tail.splitlines()[-3:])[-300:]
         detail = (f"TPU probe child exited rc={child.returncode} "
-                  f"in {dt:.0f}s (device init error)")
+                  f"in {dt:.0f}s (device init error): {tail or 'no stderr'}")
     log(detail)
     return False, detail
 

@@ -322,3 +322,19 @@ def test_probe_timeout_abandons_child():
     # heartbeat printed BEFORE the child starts
     assert any("single attempt" in m for m in msgs)
     assert msgs[0].startswith("TPU probe:")
+
+
+def test_cli_pairhmm_resume_scaled_mismatch_restarts(tmp_path, phmm_file,
+                                                     capsys):
+    """scaled_recurrence is part of the resume fingerprint (r4 review):
+    classic-step and scaled-step values differ inside the fp32
+    envelope, so a checkpoint must not silently resume across the
+    flag flip."""
+    res = str(tmp_path / "res.out")
+    rc = main(["pairhmm", phmm_file, res, "--resume", "--backend", "lax"])
+    assert rc == 0
+    capsys.readouterr()
+    rc = main(["pairhmm", phmm_file, res, "--resume", "--backend", "lax",
+               "--scaled-recurrence"])
+    assert rc == 0
+    assert "different scoring config" in capsys.readouterr().err
