@@ -167,6 +167,13 @@ class EngineConfig:
     # chip sw_long wins — xsharded exists for pairs too big for ONE
     # chip's VMEM/HBM, where splitting the x axis is the point).
     xshard_min_len: int | None = None
+    # Ship only the live band of the SW reversed-stream buffer (rows
+    # [A - max_len, A); everything else is zeros by construction) and
+    # reconstruct the full buffer on device — 2-3.5x less H2D on the
+    # dominant SW payload, bit-exact (pack.bucketing.StreamBand,
+    # pack.nibble.ship_stream). Device backends only; composes with
+    # nibble_transfer (band ships at 4 bits/row).
+    stream_band_transfer: bool = True
     # Nibble-compress SW code tiles for the host->device transfer when
     # the bucket's alphabet fits 14 symbols (pack/nibble.py: scores are
     # invariant under an alphabet remap because the kernels test codes

@@ -230,6 +230,17 @@ class Engine:
 
     # -- Smith-Waterman ----------------------------------------------------
 
+    def _stream_band(self) -> bool:
+        """Band-only SW stream transfer (pack.bucketing.StreamBand):
+        device backends reconstruct on device; the lax/native paths
+        want full host buffers. The stacked re-packer slices the host
+        stream, so it materializes the band back (sw_stacked prep) —
+        band packing is skipped when stacking is enabled to keep its
+        H2D payload honest."""
+        return (self.backend == "pallas"
+                and self.cfg.stream_band_transfer
+                and self.cfg.sw_stack < 2)
+
     def _sw_bucket(self, b):
         import jax.numpy as jnp
 
@@ -241,9 +252,11 @@ class Engine:
         # symbols (arbitrary-byte inputs) or on the lax/CPU path.
         ship = jnp.asarray
         if self.backend == "pallas" and self.cfg.nibble_transfer:
-            from genomax.pack.nibble import build_code_lut, make_shipper
+            from genomax.pack.nibble import (build_code_lut, make_shipper,
+                                             stream_bytes)
 
-            ship = make_shipper(jnp.asarray, lut=build_code_lut(b.sx, b.sy))
+            ship = make_shipper(
+                jnp.asarray, lut=build_code_lut(b.sx, stream_bytes(b.sy)))
 
         if self.backend == "pallas":
             from genomax.kernels.sw_pallas import (
@@ -263,12 +276,14 @@ class Engine:
                 sw_forward_pallas_strips,
             )
 
+            from genomax.pack.nibble import ship_stream
+
             prep = maybe_prep_strips(self.cfg, b)
             if prep is not None:
                 (sx, sy, ndt, nyt), statics = prep
                 return sw_forward_pallas_strips(
                     ship(sx),
-                    ship(sy),
+                    ship_stream(ship, sy),
                     jnp.asarray(ndt),
                     jnp.asarray(nyt),
                     cfg=self.sw_cfg,
@@ -305,7 +320,7 @@ class Engine:
             )
             return fn(
                 ship(b.sx),
-                ship(b.sy),
+                ship_stream(ship, b.sy),
                 jnp.asarray(b.ndiag_tile),
                 cfg=self.sw_cfg,
                 unroll=self.cfg.unroll,
@@ -335,7 +350,8 @@ class Engine:
         off = self._sw_offload_mask(pairs)
         t0 = time.perf_counter()
         buckets = pack_sw_pairs(
-            pairs, job_mask=None if off is None else ~off
+            pairs, job_mask=None if off is None else ~off,
+            stream_band=self._stream_band(),
         )
         stats.pack_s = time.perf_counter() - t0
         stats.buckets = len(buckets)

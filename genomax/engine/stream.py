@@ -56,7 +56,8 @@ def sw_scores_stream(engine, pairs, chunk_pairs: int = 65536) -> np.ndarray:
         chunk = pairs[s:e]
         off = engine._sw_offload_mask(chunk)
         buckets = pack_sw_pairs(
-            chunk, job_mask=None if off is None else ~off
+            chunk, job_mask=None if off is None else ~off,
+            stream_band=engine._stream_band(),
         )
         return chunk, off, buckets
 

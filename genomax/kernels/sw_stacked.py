@@ -41,6 +41,7 @@ one-block-per-pair grid (smithWaterman.cu:466).
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -185,6 +186,13 @@ def prep_bucket_stacked(bucket, stack: int):
     Slot order: new tile t region q = old tile t*stack + q, so the
     kernel's flattened (NT*stack, 128) output preserves the bucket's
     linear slot indexing and unpack_scores needs no changes."""
+    from genomax.pack.bucketing import StreamBand
+
+    if isinstance(bucket.sy, StreamBand):
+        # the re-stack below slices the host stream; band packs carry
+        # only the live rows, so materialize the full buffer first
+        # (engines skip band packing when stacking is enabled)
+        bucket = dataclasses.replace(bucket, sy=bucket.sy.materialize())
     nt = bucket.sx.shape[0]
     h = bucket.sx.shape[1]
     nds = bucket.sy.shape[1]

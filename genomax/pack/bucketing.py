@@ -153,6 +153,47 @@ def _quantize_tiles(n: int) -> int:
 
 
 @dataclasses.dataclass
+class StreamBand:
+    """The LIVE band of a reversed stream buffer (pack_sw_pairs
+    ``stream_band=True``): the full (NT, NDs, 128) buffer is zeros
+    outside rows [A - max_len, A), because the anchor A is
+    STREAM_CHUNK-quantized far above the longest stream and everything
+    above A is the top pad region. Shipping only the band cuts the
+    dominant SW host->device payload ~2-3.5x (the band is ~max_len rows
+    of NDs ≈ A + NXs); ``pack.nibble.ship_stream`` reconstructs the
+    full buffer ON DEVICE bit-exactly (zeros + one static-slice insert,
+    HBM-rate), so every kernel and its window arithmetic is untouched.
+
+    band : (NT, A - lo, 128) int8 — rows [lo, A) of the full buffer;
+           codes of stream k at band row (A - lo) - 1 - k
+    lo   : full-buffer row of band row 0 (SUB_Q-quantized, > 0)
+    nds  : full buffer rows (= anchor + NXs)
+    """
+
+    band: np.ndarray
+    lo: int
+    nds: int
+
+    @property
+    def shape(self) -> tuple:
+        # quacks like the full buffer for the shape-only routing reads
+        # (stream_vmem_rows gates, strips/stacked prep geometry)
+        return (self.band.shape[0], self.nds, self.band.shape[2])
+
+    @property
+    def dtype(self):
+        return self.band.dtype
+
+    def materialize(self) -> np.ndarray:
+        """Full host buffer, byte-identical to a stream_band=False pack
+        (host consumers: the stacked re-packer, tests)."""
+        nt, rows, lanes = self.band.shape
+        full = np.zeros((nt, self.nds, lanes), self.band.dtype)
+        full[:, self.lo : self.lo + rows, :] = self.band
+        return full
+
+
+@dataclasses.dataclass
 class SWPacked:
     """One shape-bucket of SW jobs, densely packed sublane-major.
 
@@ -166,6 +207,8 @@ class SWPacked:
            sublane A-1-k holds sy[k]. The window the kernel loads at
            diagonal d is rows [A-d, A-d+NXs) — sublane s of it holds
            sy[d-1-s], the code cell (x=s, y=d-s) compares against.
+           With ``stream_band=True`` this is a :class:`StreamBand`
+           (live rows only; device reconstruct via nibble.ship_stream).
     nx,ny: (NP,) int32 — true matrix dims (len+1); padding rows use 1
     ndiag_tile: (NT,) int32 — max nx+ny-1 within each 128-pair tile
     perm : (n_valid,) int64 — original pair index of packed slot r
@@ -173,7 +216,7 @@ class SWPacked:
     """
 
     sx: np.ndarray
-    sy: np.ndarray
+    sy: np.ndarray | StreamBand
     nx: np.ndarray
     ny: np.ndarray
     ndiag_tile: np.ndarray
@@ -287,7 +330,11 @@ def pad_tiles_to(bucket, multiple: int):
         elif f.name in ("sx", "rchar"):
             kw[f.name] = padt(v, PAD_X)
         elif f.name in ("sy", "hap"):
-            kw[f.name] = padt(v, PAD_STREAM)
+            if isinstance(v, StreamBand):
+                kw[f.name] = dataclasses.replace(v, band=padt(v.band,
+                                                              PAD_STREAM))
+            else:
+                kw[f.name] = padt(v, PAD_STREAM)
         elif f.name == "ridx":
             # Factored gather indices: pad tiles must point at the
             # all-pad row (last), NOT row 0 (a real read's bytes).
@@ -318,13 +365,19 @@ def _full(shape, fill, dtype):
     return a
 
 
-def pack_sw_pairs(pairs, job_mask=None) -> list[SWPacked]:
+def pack_sw_pairs(pairs, job_mask=None,
+                  stream_band: bool = False) -> list[SWPacked]:
     """Bucket and pack SWPair jobs. Sequences are raw bytes (the '\\n'
     quirk is preserved upstream by the parser: a trailing newline byte is
     part of the sequence). ``job_mask`` (bool, len(pairs)): pack only the
     True jobs — perm still indexes the ORIGINAL pair list, so results
     scatter back alongside jobs computed elsewhere (e.g. the native
     oversized-pair offload).
+
+    ``stream_band=True``: pack the stream as a :class:`StreamBand`
+    (only the live rows [A - max_len, A); device consumers reconstruct
+    via pack.nibble.ship_stream) — the H2D transfer-ladder rung for SW
+    (device backends; the lax/native paths want the full host buffer).
 
     The per-pair fill loop runs through the native C++ data loader when
     available (genomax/native/golden.cpp gx_pack_sw_fill; the reference's
@@ -380,14 +433,26 @@ def pack_sw_pairs(pairs, job_mask=None) -> list[SWPacked]:
         # 400k pairs). PAD_STREAM is 0, so the big stream buffer comes
         # straight off calloc pages.
         sx = _full((nt, nxs, LANES), PAD_X, np.int8)
-        sy = _full((nt, nds, LANES), PAD_STREAM, np.int8)
+        if stream_band:
+            # Live band only: codes occupy [anchor - max_len, anchor);
+            # lo is SUB_Q-quantized and provably > 0 (anchor >=
+            # ndiags.max() + MAX_UNROLL > max_len + 32). The fill below
+            # writes through a local anchor A' = anchor - lo with the
+            # band's own row stride — byte-identical band content.
+            band_lo = (anchor - int(sy_len[idx].max())) // SUB_Q * SUB_Q
+            assert band_lo > 0
+            fill_anchor, fill_rows = anchor - band_lo, anchor - band_lo
+            sy = _full((nt, fill_rows, LANES), PAD_STREAM, np.int8)
+        else:
+            fill_anchor, fill_rows = anchor, nds
+            sy = _full((nt, nds, LANES), PAD_STREAM, np.int8)
         nx = np.ones(slots, dtype=np.int32)
         ny = np.ones(slots, dtype=np.int32)
         if lib is not None:
             lib.gx_pack_sw_fill(
                 sx_data, sx_off, sy_data, sy_off,
-                np.ascontiguousarray(idx), len(idx), nxs, nds, anchor,
-                sx, sy, nx, ny,
+                np.ascontiguousarray(idx), len(idx), nxs, fill_rows,
+                fill_anchor, sx, sy, nx, ny,
             )
         else:
             for r, gi in enumerate(idx):
@@ -397,11 +462,12 @@ def pack_sw_pairs(pairs, job_mask=None) -> list[SWPacked]:
                 _reject_pad_codes(np.frombuffer(p.sy, np.uint8), "sy")
                 sx[t, 1 : len(p.sx) + 1, lane] = np.frombuffer(p.sx, np.uint8)
                 # reversed stream: buf[anchor-1-k] holds sy[k]
-                sy[t, anchor - len(p.sy) : anchor, lane] = np.frombuffer(
-                    p.sy, np.uint8
-                )[::-1]
+                sy[t, fill_anchor - len(p.sy) : fill_anchor, lane] = (
+                    np.frombuffer(p.sy, np.uint8)[::-1])
                 nx[r] = len(p.sx) + 1
                 ny[r] = len(p.sy) + 1
+        if stream_band:
+            sy = StreamBand(band=sy, lo=band_lo, nds=nds)
         ndiag = (nx.astype(np.int64) + ny - 1).astype(np.int32)
         ndiag[len(idx):] = 1
         out.append(

@@ -94,6 +94,33 @@ def expand_nibbles(packed, rows: int):
     return full[:, :rows]
 
 
+def stream_bytes(sy):
+    """The host byte array backing a stream — the band for a
+    StreamBand, the full buffer otherwise (LUT building, host math)."""
+    from genomax.pack.bucketing import StreamBand
+
+    return sy.band if isinstance(sy, StreamBand) else sy
+
+
+def ship_stream(ship, sy):
+    """Place a reversed stream buffer on device through ``ship`` (a
+    make_shipper function or plain put). For a StreamBand, ship only
+    the live band and reconstruct the full (NT, NDs, 128) buffer on
+    device: zeros + one static-slice insert — bit-identical to shipping
+    the full host buffer, at a 2-3.5x smaller H2D payload (everything
+    outside [lo, A) is PAD_STREAM = 0 by the pack's construction)."""
+    from genomax.pack.bucketing import StreamBand
+
+    if not isinstance(sy, StreamBand):
+        return ship(sy)
+    import jax.numpy as jnp
+
+    dev = ship(sy.band)
+    nt, rows, lanes = sy.band.shape
+    full = jnp.zeros((nt, sy.nds, lanes), dev.dtype)
+    return full.at[:, sy.lo : sy.lo + rows, :].set(dev)
+
+
 def make_shipper(put, *, lut=None, four_bit: bool = False):
     """The one host->device shipping contract for code tiles, shared by
     the local and sharded engines (four call sites; keeping it here

@@ -151,3 +151,64 @@ def test_engine_wide_alphabet_falls_back_uncompressed():
         EngineConfig(backend="pallas", nibble_transfer=True), interpret=True
     ).sw_scores(pairs)
     np.testing.assert_array_equal(got, oracle.sw_scores_pairs(pairs))
+
+
+def test_stream_band_pack_bit_identical():
+    """stream_band=True packs only the live rows; materialize() and the
+    device reconstruct (ship_stream) must both be byte-identical to the
+    full pack — the invariant that lets every kernel stay untouched."""
+    import jax.numpy as jnp
+
+    from genomax.io.formats import SWPair
+    from genomax.pack.bucketing import StreamBand, pack_sw_pairs
+    from genomax.pack.nibble import build_code_lut, make_shipper, ship_stream
+
+    rng = np.random.default_rng(17)
+    pairs = []
+    for _ in range(140):  # >1 tile, ragged lengths
+        a = rng.choice(list(b"ATGC"), int(rng.integers(3, 90))).astype(np.uint8).tobytes()
+        b = rng.choice(list(b"ATGC"), int(rng.integers(3, 200))).astype(np.uint8).tobytes()
+        if len(a) > len(b):
+            a, b = b, a
+        pairs.append(SWPair(sx=a + b"\n", sy=b + b"\n"))
+    full = pack_sw_pairs(pairs)
+    band = pack_sw_pairs(pairs, stream_band=True)
+    assert len(full) == len(band)
+    for bf, bb in zip(full, band):
+        assert isinstance(bb.sy, StreamBand)
+        assert bb.sy.shape == bf.sy.shape
+        # the band is a real saving, not the whole buffer renamed
+        assert bb.sy.band.shape[1] < bf.sy.shape[1]
+        np.testing.assert_array_equal(bb.sy.materialize(), bf.sy)
+        np.testing.assert_array_equal(bb.sx, bf.sx)
+        np.testing.assert_array_equal(bb.ndiag_tile, bf.ndiag_tile)
+        # device reconstruct, raw and through the nibble shipper
+        np.testing.assert_array_equal(
+            np.asarray(ship_stream(jnp.asarray, bb.sy)), bf.sy)
+        lut = build_code_lut(bb.sx, bb.sy.band)
+        ship = make_shipper(jnp.asarray, lut=lut)
+        want = np.asarray(ship(bf.sy))  # full buffer through the same lut
+        np.testing.assert_array_equal(
+            np.asarray(ship_stream(ship, bb.sy)), want)
+
+
+def test_engine_stream_band_end_to_end():
+    """The pallas-interpret engine with the (default-on) band transfer
+    must match the oracle — and actually route through StreamBand."""
+    from genomax.config import EngineConfig
+    from genomax.engine.executor import Engine
+    from genomax.io.formats import SWPair
+    from genomax.kernels import oracle
+
+    rng = np.random.default_rng(18)
+    pairs = []
+    for _ in range(20):
+        a = rng.choice(list(b"ATGC"), int(rng.integers(5, 160))).astype(np.uint8).tobytes()
+        b = rng.choice(list(b"ATGC"), int(rng.integers(5, 160))).astype(np.uint8).tobytes()
+        if len(a) > len(b):
+            a, b = b, a
+        pairs.append(SWPair(sx=a, sy=b))
+    eng = Engine(EngineConfig(backend="pallas"), interpret=True)
+    assert eng._stream_band()
+    got = eng.sw_scores(pairs)
+    np.testing.assert_array_equal(got, oracle.sw_scores_pairs(pairs))
