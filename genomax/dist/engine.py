@@ -180,7 +180,9 @@ class ShardedEngine:
         buckets = [
             pad_tiles_to(b, self.n_devices)
             for b in pack_sw_pairs(
-                pairs, job_mask=None if off is None else ~off
+                pairs, job_mask=None if off is None else ~off,
+                stream_band=(self.backend == "pallas"
+                             and self.cfg.stream_band_transfer),
             )
         ]
         stats.pack_s = time.perf_counter() - t0
@@ -206,15 +208,18 @@ class ShardedEngine:
             # engine: ship 4-bit codes, expand AFTER placement —
             # elementwise, so it runs SPMD on the tile-sharded array
             # with no collectives (like expand_byte_quals below).
+            from genomax.pack.nibble import ship_stream, stream_bytes
+
             ship = self._put
             if self.backend == "pallas" and self.cfg.nibble_transfer:
                 from genomax.pack.nibble import build_code_lut, make_shipper
 
                 ship = make_shipper(self._put,
-                                    lut=build_code_lut(sxa, b.sy))
+                                    lut=build_code_lut(sxa,
+                                                       stream_bytes(b.sy)))
             return sw_forward_sharded(
                 ship(sxa),
-                ship(b.sy),
+                ship_stream(ship, b.sy),
                 self._put(b.nx.reshape(-1, 128)).reshape(-1),
                 self._put(b.ny.reshape(-1, 128)).reshape(-1),
                 self._put(b.ndiag_tile),

@@ -116,9 +116,11 @@ def ship_stream(ship, sy):
     import jax.numpy as jnp
 
     dev = ship(sy.band)
-    nt, rows, lanes = sy.band.shape
-    full = jnp.zeros((nt, sy.nds, lanes), dev.dtype)
-    return full.at[:, sy.lo : sy.lo + rows, :].set(dev)
+    rows = sy.band.shape[1]
+    # zero-pad back to [0, nds): everything outside the band is
+    # PAD_STREAM = 0. jnp.pad touches only the row dim, so a tile-dim
+    # sharding (the sharded engine's _put) propagates through unchanged.
+    return jnp.pad(dev, ((0, 0), (sy.lo, sy.nds - sy.lo - rows), (0, 0)))
 
 
 def make_shipper(put, *, lut=None, four_bit: bool = False):
