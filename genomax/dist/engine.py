@@ -181,8 +181,7 @@ class ShardedEngine:
             pad_tiles_to(b, self.n_devices)
             for b in pack_sw_pairs(
                 pairs, job_mask=None if off is None else ~off,
-                stream_band=(self.backend == "pallas"
-                             and self.cfg.stream_band_transfer),
+                stream_band=Engine._stream_band(self),
             )
         ]
         stats.pack_s = time.perf_counter() - t0

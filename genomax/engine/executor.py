@@ -230,16 +230,20 @@ class Engine:
 
     # -- Smith-Waterman ----------------------------------------------------
 
-    def _stream_band(self) -> bool:
-        """Band-only SW stream transfer (pack.bucketing.StreamBand):
+    def _stream_band(self):
+        """THE stream-band gate (pack.bucketing.StreamBand), shared by
+        the local and sharded engines so the policy cannot drift:
         device backends reconstruct on device; the lax/native paths
-        want full host buffers. The stacked re-packer slices the host
-        stream, so it materializes the band back (sw_stacked prep) —
-        band packing is skipped when stacking is enabled to keep its
-        H2D payload honest."""
-        return (self.backend == "pallas"
-                and self.cfg.stream_band_transfer
-                and self.cfg.sw_stack < 2)
+        want full host buffers. Returns a bool or a per-bucket
+        nxs-predicate: the stacked re-packer slices the host stream
+        (materializing the band back), so with stacking enabled only
+        buckets past the stacked router's nxs ceiling keep the band —
+        large buckets never stack and should not lose the saving."""
+        if self.backend != "pallas" or not self.cfg.stream_band_transfer:
+            return False
+        if self.cfg.sw_stack >= 2:
+            return lambda nxs: nxs > self.cfg.stack_max_nxs
+        return True
 
     def _sw_bucket(self, b):
         import jax.numpy as jnp

@@ -366,7 +366,7 @@ def _full(shape, fill, dtype):
 
 
 def pack_sw_pairs(pairs, job_mask=None,
-                  stream_band: bool = False) -> list[SWPacked]:
+                  stream_band=False) -> list[SWPacked]:
     """Bucket and pack SWPair jobs. Sequences are raw bytes (the '\\n'
     quirk is preserved upstream by the parser: a trailing newline byte is
     part of the sequence). ``job_mask`` (bool, len(pairs)): pack only the
@@ -374,10 +374,13 @@ def pack_sw_pairs(pairs, job_mask=None,
     scatter back alongside jobs computed elsewhere (e.g. the native
     oversized-pair offload).
 
-    ``stream_band=True``: pack the stream as a :class:`StreamBand`
-    (only the live rows [A - max_len, A); device consumers reconstruct
-    via pack.nibble.ship_stream) — the H2D transfer-ladder rung for SW
+    ``stream_band``: pack the stream as a :class:`StreamBand` (only
+    the live rows [A - max_len, A); device consumers reconstruct via
+    pack.nibble.ship_stream) — the H2D transfer-ladder rung for SW
     (device backends; the lax/native paths want the full host buffer).
+    A bool applies to every bucket; a callable is a per-bucket
+    predicate of the bucket's nxs (Engine._stream_band's stacking
+    carve-out).
 
     The per-pair fill loop runs through the native C++ data loader when
     available (genomax/native/golden.cpp gx_pack_sw_fill; the reference's
@@ -433,7 +436,8 @@ def pack_sw_pairs(pairs, job_mask=None,
         # 400k pairs). PAD_STREAM is 0, so the big stream buffer comes
         # straight off calloc pages.
         sx = _full((nt, nxs, LANES), PAD_X, np.int8)
-        if stream_band:
+        band = stream_band(nxs) if callable(stream_band) else stream_band
+        if band:
             # Live band only: codes occupy [anchor - max_len, anchor);
             # lo is SUB_Q-quantized and provably > 0 (anchor >=
             # ndiags.max() + MAX_UNROLL > max_len + 32). The fill below
@@ -466,7 +470,7 @@ def pack_sw_pairs(pairs, job_mask=None,
                     np.frombuffer(p.sy, np.uint8)[::-1])
                 nx[r] = len(p.sx) + 1
                 ny[r] = len(p.sy) + 1
-        if stream_band:
+        if band:
             sy = StreamBand(band=sy, lo=band_lo, nds=nds)
         ndiag = (nx.astype(np.int64) + ny - 1).astype(np.int32)
         ndiag[len(idx):] = 1
