@@ -28,6 +28,31 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+_PHASE = {"name": "startup", "t0": time.time()}
+
+
+def phase(name: str) -> None:
+    """Mark the current bench phase. A daemon heartbeat prints it every
+    90 s, so if the tunnel dies MID-run (device call hangs, driver kills
+    at timeout) the artifact tail still names the phase that hung —
+    the same no-empty-artifact principle as the probe heartbeat."""
+    _PHASE["name"] = name
+    _PHASE["t0"] = time.time()
+    log(f"phase: {name}")
+
+
+def _start_heartbeat():
+    import threading
+
+    def beat():
+        while True:
+            time.sleep(90)
+            log(f"heartbeat: in phase '{_PHASE['name']}' for "
+                f"{time.time()-_PHASE['t0']:.0f}s")
+
+    threading.Thread(target=beat, daemon=True).start()
+
+
 def require_tpu_or_exit(timeout_s: float = 420.0) -> None:
     """Fail FAST (exit 2) when the TPU tunnel is unreachable.
 
@@ -55,6 +80,8 @@ def require_tpu_or_exit(timeout_s: float = 420.0) -> None:
 
 def main():
     import genomax
+
+    _start_heartbeat()
 
     genomax.honor_jax_platforms()
     genomax.setup_compilation_cache()
@@ -88,6 +115,7 @@ def main():
     # driver contract (incl. the JSON line) on CPU in seconds.
     tiny = os.environ.get("GENOMAX_BENCH_TINY", "").lower() not in ("", "0", "false", "no")
     if not tiny:
+        phase("tpu probe")
         require_tpu_or_exit()
     import jax
 
@@ -96,6 +124,7 @@ def main():
     # this tunnel — NOT kernel compiles; see PERF.md §Compile latency).
     # The probe above already warmed the tunnel connection, so this
     # times THIS process's own backend bring-up + first trivial op.
+    phase("plugin/device init")
     t0 = time.time()
     jnp.zeros(8).block_until_ready()
     log(f"plugin/device init + first trivial op: {time.time()-t0:.1f}s "
@@ -124,6 +153,7 @@ def main():
             jnp.asarray(small.sx), jnp.asarray(small.sy),
             jnp.asarray(small.ndiag_tile), unroll=unroll, interpret=interp))
 
+    phase("canary dispatch")
     t0 = time.time()
     try:
         canary()
@@ -138,6 +168,7 @@ def main():
     log(f"canary (plugin init + tiny compile or cache probe): "
         f"{time.time()-t0:.1f}s")
 
+    phase("pack + concurrent compiles")
     t0 = time.time()
     bucket = pack_sw_pairs(pairs)[0]
     log(f"pack: {time.time()-t0:.2f}s tiles={bucket.sx.shape}")
@@ -286,6 +317,7 @@ def main():
     except Exception as e:
         long_ok = False
         log(f"sw_long compile failed: {e!r}")
+    phase("timed loops")
     log(f"compile+first: SW {t_sw:.1f}s; all kernels joined "
         f"{time.time()-t0:.1f}s (parallel compile)")
     got = np.zeros(n * reps, np.int32)
