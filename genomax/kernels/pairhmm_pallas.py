@@ -153,7 +153,7 @@ def _kernel(
         nd, phmm_make_state(zscr[:], c.y0row), body, unroll=unroll,
         block_fn=block
     )
-    res = phmm_finalize(state).reshape(1, LANES)
+    res = phmm_finalize(state, c).reshape(1, LANES)
     out_ref[:] = jnp.broadcast_to(res, out_ref.shape)
 
 
@@ -312,7 +312,7 @@ def _kernel_streamed(
     state = jax.lax.fori_loop(
         0, (n_chunks + 1) // 2, pair_body, phmm_make_state(zscr[:], c.y0row)
     )
-    res = phmm_finalize(state).reshape(1, LANES)
+    res = phmm_finalize(state, c).reshape(1, LANES)
     out_ref[:] = jnp.broadcast_to(res, out_ref.shape)
 
 

@@ -495,9 +495,18 @@ def phmm_step(d, state, c: PhmmConsts):
     # untouched sublanes), so no lower-bound check is needed. Raw
     # contributions collect in accb; phmm_rescale folds accb*cmul into
     # acc once per block (cmul is constant within a block).
-    lmask = c.rlmask & (jnp.asarray(d, jnp.int32) <= c.rlhl)
+    # r4 op-shave: accumulate at EVERY row still inside the pair's live
+    # diagonal span (the 1-row d <= rl+hl gate broadcasts; ~free) and
+    # extract the rl row ONCE at finalize through rlmask — the per-step
+    # `rlmask &` disappears (-1 of 18 ALU ops). Bit-identical at the
+    # result row: its adds and their order are unchanged. Off-row rows
+    # accumulate mid-matrix garbage that (a) rescale's accumulator
+    # reduction and finalize both mask out and (b) may reach inf after
+    # many blocks — inf never crosses the masks (selects, not
+    # multiplies) and accb itself resets finite every block.
+    gate = jnp.asarray(d, jnp.int32) <= c.rlhl
     contrib = Mn + c.qi * Xn if c.scaled else Mn + Xn
-    accb = accb + jnp.where(lmask, contrib, 0.0)
+    accb = accb + jnp.where(gate, contrib, 0.0)
 
     return (
         Mn,
@@ -567,8 +576,11 @@ def phmm_rescale(state, d, c: PhmmConsts):
     # floating accumulator was tried and changed nothing). That is why
     # the engine's fp64 fallback threshold (-45) is load-bearing; it
     # mirrors GKL's fp32-with-fp64-fallback production design.
-    # The accumulator follows the buffer scale only while small.
-    asum = jnp.max(acc, axis=0, keepdims=True)
+    # The accumulator follows the buffer scale only while small. Only
+    # the rl row is the real accumulator (phmm_step's gate admits every
+    # live row; finalize extracts rl) — mask before reducing, or
+    # off-row garbage would freeze the scale early.
+    asum = jnp.max(jnp.where(c.rlmask, acc, 0.0), axis=0, keepdims=True)
     follow = need & (asum < PHMM_RESCALE_TRIGGER)
     return (
         M1 * f,
@@ -586,13 +598,15 @@ def phmm_rescale(state, d, c: PhmmConsts):
     )
 
 
-def phmm_finalize(state):
+def phmm_finalize(state, c: PhmmConsts):
     """log10(sum of last-row M+X) minus the scaling constant
     (pairHMMmatrix.c:59-66), exponent shifts folded back in. accb is
     always freshly-folded here (phmm_rescale runs after every block,
-    including the last)."""
+    including the last). The rlmask select extracts the one real
+    accumulator row (phmm_step accumulates at every live row; the
+    off-row garbage — possibly inf — dies in this select)."""
     acc, acc_log = state[8], state[11]
-    total = jnp.sum(acc, axis=0, keepdims=True)
+    total = jnp.sum(jnp.where(c.rlmask, acc, 0.0), axis=0, keepdims=True)
     return (jnp.log10(total) + acc_log - PHMM_INIT_LOG10)[0]
 
 
@@ -640,4 +654,4 @@ def phmm_forward_dense(
         n_diags, phmm_make_state(z, c.y0row), body, unroll=rescale_period,
         block_fn=block,
     )
-    return phmm_finalize(state)
+    return phmm_finalize(state, c)
