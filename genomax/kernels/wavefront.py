@@ -499,11 +499,16 @@ def phmm_step(d, state, c: PhmmConsts):
     # diagonal span (the 1-row d <= rl+hl gate broadcasts; ~free) and
     # extract the rl row ONCE at finalize through rlmask — the per-step
     # `rlmask &` disappears (-1 of 18 ALU ops). Bit-identical at the
-    # result row: its adds and their order are unchanged. Off-row rows
-    # accumulate mid-matrix garbage that (a) rescale's accumulator
-    # reduction and finalize both mask out and (b) may reach inf after
-    # many blocks — inf never crosses the masks (selects, not
-    # multiplies) and accb itself resets finite every block.
+    # result row: its adds and their order are unchanged. Off-rl rows
+    # accumulate mid-matrix garbage that may reach +inf after many
+    # blocks, and once an off-rl row of acc is inf it stays inf for the
+    # rest of the sweep (contrib >= 0, so inf never meets -inf — no NaN
+    # is ever produced; phmm_rescale resets accb with literal zeros, not
+    # accb-accb, precisely so an inf row cannot turn into NaN there).
+    # Correctness therefore rests SOLELY on the rlmask SELECTS in
+    # phmm_rescale's asum and phmm_finalize: any new consumer of
+    # acc/accb must read them through a select (never a multiply —
+    # 0*inf = NaN) or this invariant breaks silently.
     gate = jnp.asarray(d, jnp.int32) <= c.rlhl
     contrib = Mn + c.qi * Xn if c.scaled else Mn + Xn
     accb = accb + jnp.where(gate, contrib, 0.0)
@@ -545,7 +550,11 @@ def phmm_rescale(state, d, c: PhmmConsts):
     decision, so asum sees the up-to-date value."""
     M1, Y1, M1s, X1s, Y1s, M2s, X2s, Y2s, acc, accb, cmul, acc_log = state
     acc = acc + accb * cmul
-    accb = accb - accb  # fresh zeros with a concrete layout
+    # Literal zeros, NOT accb-accb: off-rl rows of accb can legitimately
+    # reach +inf (unmasked mid-matrix mass, see the phmm step op-shave
+    # comment) and inf - inf = NaN would poison the row permanently;
+    # zeros survive any input (ADVICE r4).
+    accb = jnp.zeros_like(accb)
     ii, rl, hl = c.ii, c.rl, c.hl
     jv = d - ii
     # window of the current diagonal d (cells (i, d-i))

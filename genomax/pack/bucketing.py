@@ -444,7 +444,12 @@ def pack_sw_pairs(pairs, job_mask=None,
             # writes through a local anchor A' = anchor - lo with the
             # band's own row stride — byte-identical band content.
             band_lo = (anchor - int(sy_len[idx].max())) // SUB_Q * SUB_Q
-            assert band_lo > 0
+            if band_lo <= 0:  # real raise, not assert: must survive -O
+                raise AssertionError(
+                    f"stream-band invariant violated: band_lo={band_lo} "
+                    f"(anchor={anchor}, max_len={int(sy_len[idx].max())}) "
+                    "— anchor quantization no longer guarantees "
+                    "anchor > max_len + MAX_UNROLL")
             fill_anchor, fill_rows = anchor - band_lo, anchor - band_lo
             sy = _full((nt, fill_rows, LANES), PAD_STREAM, np.int8)
         else:

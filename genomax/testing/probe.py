@@ -15,8 +15,11 @@ doing rapid-fire timeout-kills once prolonged an outage for hours
     killed by an outer watchdog still leaves the cause in its tail;
   * on timeout the child is NOT killed: it is abandoned (detached
     session) and its pid reported.  An orphan that eventually finishes
-    init runs one trivial op and exits; an orphan that stays hung costs
-    one idle process — both strictly better than a wedged tunnel.
+    init runs one trivial op and exits (its BACKEND report lands on a
+    pipe whose read end is gone — the print is wrapped in try/except so
+    the orphan still exits cleanly instead of dying on EPIPE); an
+    orphan that stays hung costs one idle process — both strictly
+    better than a wedged tunnel.
 
 The reference has no analogue (single local GPU, ``cudaSetDevice`` either
 works or errors immediately, smithWaterman.cu:391-395); this is the tax
@@ -39,14 +42,23 @@ DEFAULT_TIMEOUT_S = 420.0
 
 # The child: init the backend, run one op, report the backend name.
 # honor_jax_platforms first, so JAX_PLATFORMS=cpu callers get an honest
-# "no TPU backend" verdict instead of a hung axon init.
-_CHILD = (
-    "import genomax, sys; genomax.honor_jax_platforms(); "
-    "import jax, jax.numpy as jnp; "
-    "jnp.ones(8).block_until_ready(); "
-    "b = jax.default_backend(); print('BACKEND=' + b, flush=True); "
-    "sys.exit(0 if b != 'cpu' else 3)"
-)
+# "no TPU backend" verdict instead of a hung axon init. The BACKEND
+# print tolerates OSError: an abandoned (timed-out) orphan inherits
+# pipes whose read ends the caller has dropped, and the orphan's exit
+# path must match the documented "runs one op and exits" contract
+# rather than die on EPIPE (ADVICE r4).
+_CHILD = """\
+import genomax, sys
+genomax.honor_jax_platforms()
+import jax, jax.numpy as jnp
+jnp.ones(8).block_until_ready()
+b = jax.default_backend()
+try:
+    print('BACKEND=' + b, flush=True)
+except OSError:
+    pass  # abandoned orphan: caller gone; the verdict is moot anyway
+sys.exit(0 if b != 'cpu' else 3)
+"""
 
 
 def probe_tpu(timeout_s: float = DEFAULT_TIMEOUT_S, *, log=None) -> tuple[bool, str]:
