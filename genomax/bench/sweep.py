@@ -154,7 +154,7 @@ def run_sweep(lengths, unrolls, num_alignments, backend, json_out=None):
 
 def bench_pairhmm_point(n_reads: int, n_haps: int, read_len: int,
                         hap_len: int, backend: str, trials: int = 3,
-                        seed: int = 0, scaled: bool = False):
+                        seed: int = 0):
     """One PairHMM sweep point (the reference tuned PairHMM the same way
     but withheld the numbers, report_gkl_hpps.pdf §5)."""
     import jax.numpy as jnp
@@ -187,7 +187,7 @@ def bench_pairhmm_point(n_reads: int, n_haps: int, read_len: int,
                 b.rchar, b.qr, b.mmv, b.gapm, b.qi, b.qd, b.qg, b.hap,
                 b.meta, b.ndiag_tile))
             runs.append(lambda a=args, f=fn, bm=b.bitmask_codes: f(
-                *a, bitmask=bm, scaled=scaled))
+                *a, bitmask=bm))
         else:
             from genomax.engine.executor import _phmm_dense_jit, flatten_tiles
 
@@ -199,7 +199,7 @@ def bench_pairhmm_point(n_reads: int, n_haps: int, read_len: int,
             nd = b.max_diags
             runs.append(lambda a=args, nd=nd, bm=b.bitmask_codes:
                         _phmm_dense_jit(*a, n_diags=-(-nd // 16) * 16,
-                                        bitmask=bm, scaled=scaled))
+                                        bitmask=bm))
 
     _ = [_force(r()) for r in runs]
 
@@ -223,21 +223,19 @@ def bench_pairhmm_point(n_reads: int, n_haps: int, read_len: int,
         "pairs": n,
         "read_len": read_len,
         "hap_len": hap_len,
-        "scaled": scaled,
         "slope_reps": k2,
         "elapsed_ms": round(per * 1e3, 3),
         "gcups": round(cells / per / 1e9, 3),
     }
 
 
-def run_pairhmm_sweep(points, backend, json_out=None, scaled: bool = False):
+def run_pairhmm_sweep(points, backend, json_out=None):
     """points: list of (n_reads, n_haps, read_len, hap_len)."""
     rows = []
-    print(f"PairHMM sweep, backend={backend}"
-          + (", scaled recurrence" if scaled else ""))
+    print(f"PairHMM sweep, backend={backend}")
     print(f"{'pairs':>8} {'read':>6} {'hap':>6} {'ms':>10} {'GCUPS':>8}")
     for nr, nh, rl, hl in points:
-        r = bench_pairhmm_point(nr, nh, rl, hl, backend, scaled=scaled)
+        r = bench_pairhmm_point(nr, nh, rl, hl, backend)
         rows.append(r)
         print(f"{r['pairs']:>8} {rl:>6} {hl:>6} {r['elapsed_ms']:>10.1f} "
               f"{r['gcups']:>8.2f}")

@@ -66,7 +66,6 @@ def _build_engine(args):
     )
     phmm_cfg = PairHMMConfig(
         gatk_emission=getattr(args, "gatk_emission", False),
-        scaled_recurrence=getattr(args, "scaled_recurrence", False),
     )
     if getattr(args, "chunk", None) and getattr(args, "devices", None):
         raise ValueError("--chunk streams through the local engine; "
@@ -109,10 +108,6 @@ def _add_engine_args(p):
                         "of the reference's plain Qr "
                         "(PairHMMConfig.gatk_emission; changes PairHMM "
                         "outputs vs the reference binaries)")
-    p.add_argument("--scaled-recurrence", action="store_true",
-                   help="opt-in PairHMM scaled-recurrence step (fewer "
-                        "multiplies; PairHMMConfig.scaled_recurrence — "
-                        "identical semantics to fp32 rounding, soak-gated)")
     p.add_argument("--stats", action="store_true", help="print JSON run stats to stderr")
     p.add_argument("--profile", metavar="DIR",
                    help="capture a jax.profiler trace of the run into DIR "
@@ -196,9 +191,7 @@ def _pairhmm_resumable(args, eng, batches) -> int:
     # Results already in the file must have been produced under the same
     # semantics, or the resumed output silently mixes two emission
     # models (SW scoring flags don't affect pairhmm values).
-    fp = {"gatk_emission": bool(getattr(args, "gatk_emission", False)),
-          "scaled_recurrence": bool(getattr(args, "scaled_recurrence",
-                                            False))}
+    fp = {"gatk_emission": bool(getattr(args, "gatk_emission", False))}
     done, lines = 0, 0
     if os.path.exists(manifest_path) and os.path.exists(args.output):
         with open(manifest_path) as f:
@@ -207,13 +200,15 @@ def _pairhmm_resumable(args, eng, batches) -> int:
         # key was written under its historical default (False), so
         # normalize to that — NOT to the current flags, which would let
         # a pre-upgrade checkpoint silently resume under new semantics
-        # (ADVICE r3; scaled_recurrence joined the fingerprint in r4
-        # because the two steps differ inside the fp32 envelope).
+        # (ADVICE r3). A manifest that recorded the r4-r5
+        # scaled_recurrence step (deleted r5 — DESIGN §3b) restarts:
+        # its outputs differ from the classic step within fp32.
         mcfg = m.get("config", {})
+        stale_scaled = bool(mcfg.get("scaled_recurrence", False))
         mcfg = {k: bool(mcfg.get(k, False)) for k in fp}
         if m.get("input") != os.path.abspath(args.input):
             pass  # different workload: restart
-        elif mcfg != fp:
+        elif mcfg != fp or stale_scaled:
             print("resume manifest was written with different scoring "
                   "config; restarting from scratch", file=sys.stderr)
         else:
@@ -273,8 +268,7 @@ def cmd_bench(args) -> int:
         for spec in args.pairhmm_points.split(";"):
             nr, nh, rl, hl = (int(x) for x in spec.split(","))
             pts.append((nr, nh, rl, hl))
-        run_pairhmm_sweep(pts, backend=args.backend, json_out=args.json,
-                          scaled=getattr(args, "scaled_recurrence", False))
+        run_pairhmm_sweep(pts, backend=args.backend, json_out=args.json)
         return 0
     from genomax.bench.sweep import run_sweep
 
@@ -372,9 +366,6 @@ def main(argv=None) -> int:
     p.add_argument("--unrolls", default="8,16,32")
     p.add_argument("--num", type=int, default=25000, help="alignments per point")
     p.add_argument("--backend", default="auto")
-    p.add_argument("--scaled-recurrence", action="store_true",
-                   help="pairhmm points use the scaled-recurrence step "
-                        "(the r4 measurement lever, DESIGN §3b)")
     p.add_argument("--json", help="write results as JSON to this path")
     p.set_defaults(fn=cmd_bench)
 

@@ -68,18 +68,9 @@ class PairHMMConfig:
     # HaplotypeCaller emission, applied consistently across the TPU
     # kernels, the fp64 fallback/offload paths, and the oracle.
     gatk_emission: bool = False
-
-    # OPT-IN (r4, VERDICT r3 ask #6): the scaled-recurrence
-    # reformulation of the hot step — X' = X/qi, Y' = Y/qd with the
-    # per-row factors telescoped into loop-invariant coefficients, so X
-    # and Y each drop their M-multiply (wavefront.phmm_make_consts
-    # docstring has the algebra and the pad-decay proof). Identical
-    # semantics to fp32 rounding; carried X'/Y' magnitudes run up to
-    # 1/qi above the classic form, so it is gated by the deep-soak seam
-    # adversaries before any default routing. Applies to the lane-tile
-    # kernels + lax twin (pairhmm_long keeps the classic step — its
-    # cross-strip halos exchange raw M/X/Y rows).
-    scaled_recurrence: bool = False
+    # (r4-r5 carried an opt-in scaled_recurrence flag here; it measured
+    # 5-14% slower on hardware and was deleted per the DESIGN §3b
+    # contract. Post-mortem: DESIGN.md §3b/§4.)
 
     @property
     def mm_div(self) -> float:

@@ -329,7 +329,6 @@ class ShardedEngine:
                 stream_vmem_rows=self.cfg.stream_vmem_rows,
                 mm_div=self.phmm_cfg.mm_div,
                 bitmask=b.bitmask_codes,
-                scaled=self.phmm_cfg.scaled_recurrence,
             )
 
         results = _run_buckets("pairhmm-sharded", buckets, dispatch)

@@ -107,7 +107,7 @@ def sw_forward_sharded(
     jax.jit,
     static_argnames=(
         "mesh", "n_diags", "rescale_period", "backend", "interpret",
-        "stream_vmem_rows", "mm_div", "bitmask", "scaled",
+        "stream_vmem_rows", "mm_div", "bitmask",
     ),
 )
 def pairhmm_forward_sharded(
@@ -132,7 +132,6 @@ def pairhmm_forward_sharded(
     stream_vmem_rows: int = 6144,
     mm_div: float = 1.0,
     bitmask: bool = False,
-    scaled: bool = False,
 ):
     """Batched PairHMM forward over a device mesh (see sw_forward_sharded)."""
 
@@ -154,7 +153,6 @@ def pairhmm_forward_sharded(
                 nd_s, rescale_period=rescale_period, interpret=interpret,
                 mm_div=mm_div,
                 bitmask=bitmask,
-                scaled=scaled,
             )
         else:
             from genomax.kernels.wavefront import phmm_forward_dense
@@ -167,7 +165,6 @@ def pairhmm_forward_sharded(
                 rl_s, hl_s, n_diags=n_diags, rescale_period=rescale_period,
                 mm_div=mm_div,
                 bitmask=bitmask,
-                scaled=scaled,
             ).reshape(rchar_s.shape[0], 128)
         return jax.lax.all_gather(local, DATA_AXIS, tiled=True)
 

@@ -159,7 +159,7 @@ def _make_dense_jits():
     sw = _jax.jit(sw_forward_dense, static_argnames=("n_diags", "cfg"))
     ph = _jax.jit(phmm_forward_dense,
                   static_argnames=("n_diags", "rescale_period", "mm_div",
-                                   "bitmask", "scaled"))
+                                   "bitmask"))
     return sw, ph
 
 
@@ -465,8 +465,7 @@ class Engine:
                     interpret=self.interpret,
                     mm_div=self.phmm_cfg.mm_div,
                     bitmask=b.bitmask_codes,
-                    scaled=self.phmm_cfg.scaled_recurrence,
-                )
+                                    )
             if b.qb is not None:
                 # byte_quals pack: ship raw phred bytes, expand on device
                 quals = expand_byte_quals(
@@ -500,8 +499,7 @@ class Engine:
                 interpret=self.interpret,
                 mm_div=self.phmm_cfg.mm_div,
                 bitmask=b.bitmask_codes,
-                scaled=self.phmm_cfg.scaled_recurrence,
-            )
+                            )
 
         return _phmm_dense_jit(
             flatten_tiles(b.rchar),
@@ -519,8 +517,7 @@ class Engine:
             rescale_period=self.cfg.rescale_period,
             mm_div=self.phmm_cfg.mm_div,
             bitmask=b.bitmask_codes,
-            scaled=self.phmm_cfg.scaled_recurrence,
-        )
+                    )
 
     def _phmm_offload_mask(self, batches):
         """True = too big for the device kernel (VMEM); run natively."""

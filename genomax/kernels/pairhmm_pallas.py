@@ -108,7 +108,6 @@ def _kernel(
     interpret: bool,
     mm_div: float,
     bitmask: bool,
-    scaled: bool,
 ):
     t = pl.program_id(0)
     nd = nd_ref[t]
@@ -139,7 +138,6 @@ def _kernel(
         roll1,
         mm_div,
         bitmask=bitmask,
-        scaled=scaled,
     )
 
     def body(d, state):
@@ -159,7 +157,7 @@ def _kernel(
 
 @functools.partial(
     jax.jit, static_argnames=("rescale_period", "interpret", "mm_div",
-                              "bitmask", "scaled")
+                              "bitmask")
 )
 def pairhmm_forward_pallas(
     rchar: jax.Array,  # (NT, NXs, 128) int32 sublane-fixed read codes
@@ -176,7 +174,6 @@ def pairhmm_forward_pallas(
     interpret: bool = False,
     mm_div: float = 1.0,  # 3.0 = true GATK emission (PairHMMConfig)
     bitmask: bool = False,  # codes are one-hot (PairHMMPacked.bitmask_codes)
-    scaled: bool = False,  # scaled recurrence (PairHMMConfig.scaled_recurrence)
 ) -> jax.Array:
     """Returns (NT, 128) f32 log10 likelihoods (reference-constant-relative)."""
     rchar = rchar.astype(jnp.int32)  # int8 on the wire, int32 in VMEM
@@ -215,7 +212,7 @@ def pairhmm_forward_pallas(
 
     out = pl.pallas_call(
         functools.partial(_kernel, unroll=rescale_period, interpret=interpret,
-                          mm_div=mm_div, bitmask=bitmask, scaled=scaled),
+                          mm_div=mm_div, bitmask=bitmask),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nt * 8, LANES), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -236,7 +233,7 @@ from genomax.kernels.wavefront import STREAM_CHUNK  # noqa: E402
 def _kernel_streamed(
     nd_ref, rchar_ref, qr_ref, mmv_ref, gapm_ref, qi_ref, qd_ref, qg_ref,
     hap_hbm, meta_ref, out_ref, zscr, slab, sem, *, unroll: int,
-    mm_div: float, bitmask: bool, scaled: bool,
+    mm_div: float, bitmask: bool,
 ):
     """Streamed variant: the haplotype stream stays in HBM, slab-DMA'd
     per STREAM_CHUNK diagonals with double buffering — haplotype length
@@ -257,7 +254,7 @@ def _kernel_streamed(
     c = phmm_make_consts(
         rchar_ref[0], qr_ref[0], mmv_ref[0], gapm_ref[0], qi_ref[0],
         qd_ref[0], qg_ref[0], meta[0:1], meta[1:2], None, roll1, mm_div,
-        bitmask=bitmask, scaled=scaled,
+        bitmask=bitmask,
     )
 
     def dma(slot, ci):
@@ -318,7 +315,7 @@ def _kernel_streamed(
 
 @functools.partial(jax.jit,
                    static_argnames=("rescale_period", "interpret", "mm_div",
-                                    "bitmask", "scaled"))
+                                    "bitmask"))
 def pairhmm_forward_pallas_streamed(
     rchar: jax.Array,
     qr: jax.Array,
@@ -334,7 +331,6 @@ def pairhmm_forward_pallas_streamed(
     interpret: bool = False,
     mm_div: float = 1.0,
     bitmask: bool = False,
-    scaled: bool = False,
 ) -> jax.Array:
     """pairhmm_forward_pallas with an HBM-resident haplotype stream."""
     if STREAM_CHUNK % rescale_period or rescale_period > 32:
@@ -370,7 +366,7 @@ def pairhmm_forward_pallas_streamed(
 
     out = pl.pallas_call(
         functools.partial(_kernel_streamed, unroll=rescale_period,
-                          mm_div=mm_div, bitmask=bitmask, scaled=scaled),
+                          mm_div=mm_div, bitmask=bitmask),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nt * 8, LANES), jnp.float32),
         compiler_params=pltpu.CompilerParams(

@@ -332,19 +332,11 @@ class PhmmConsts:
     window: Callable  # d -> (NXs, L) haplotype stream window
     roll1: Callable
     bitmask: bool = False  # codes are one-hot match bitmasks (pack)
-    # Scaled-recurrence coefficients (None unless scaled=True; DESIGN.md
-    # §3b): X' = X/qi_i, Y' = Y/qd_i with the per-row factors folded
-    # into loop-invariant consts, so X and Y lose their M-multiply.
-    scaled: bool = False
-    bx: Any = None  # (NXs, L) gapm_i * qi_{i-1}   (M's X' coefficient)
-    gy: Any = None  # (NXs, L) gapm_i * qd_{i-1}, row 1: gapm_1 * 1
-    qgx: Any = None  # (NXs, L) qg_i * qi_{i-1} / qi_i (X' carry)
 
 
 def phmm_make_consts(rchar, qr, mmv, gapm, qi, qd, qg, rl, hl, window,
                      roll1, mm_div: float = 1.0,
-                     bitmask: bool = False,
-                     scaled: bool = False) -> PhmmConsts:
+                     bitmask: bool = False) -> PhmmConsts:
     """mm_div: mismatch-emission divisor — 1.0 reproduces the reference
     (plain Qr), 3.0 is the true GATK/GKL emission (Qr/3); see
     PairHMMConfig.gatk_emission.
@@ -353,26 +345,10 @@ def phmm_make_consts(rchar, qr, mmv, gapm, qi, qd, qg, rl, hl, window,
     (PairHMMPacked.bitmask_codes) — the emission test in phmm_step
     becomes one and+compare instead of two compares + or.
 
-    scaled: the scaled-recurrence reformulation (DESIGN.md §3b,
-    PairHMMConfig.scaled_recurrence). Substitute X'_i = X_i / qi_i and
-    Y'_i = Y_i / qd_i (M unscaled): the per-row factors telescope into
-    loop-invariant coefficients, so X and Y each drop their M-multiply
-    (Xn = M1s + X1s*qgx, Yn = M1 + Y1*qg) while M splits its gapm
-    coefficient per input (bx = gapm_i*qi_{i-1}, gy = gapm_i*qd_{i-1});
-    the last-row contribution converts back with one fma
-    (Mn + qi*Xn). Exact-zero pad decay is PRESERVED: the bottom tile
-    row is always dead (pack nxs = max_len+2), so the roll wraps an
-    exact 0 into X's row 0, and qgx = 0 wherever qi = 0 confines the
-    one non-conforming row (X' at rl+1 = M'_{rl}, masked from every
-    consumer — rescale windows, accumulator, and M via bx_{rl+2} = 0).
-    Boundary specifics: gy's qd_{i-1} is 1 at i = 1 (the row-0 Y scale
-    is 1 — y0row stays unscaled); row-0 Y persistence via qg[0] = 1 is
-    untouched. Numerics: X'/Y' run up to 1/qi (~1e4 at Q40) above the
-    true values, so the shared window-peak rescale keeps THEM afloat
-    and lets true-M mass sit correspondingly deeper — contributions
-    affected are >=1e4 below the window peak, inside the fp32 envelope
-    the -45 fallback already owns. Gated by the deep-soak seam
-    adversaries before any production routing."""
+    (A scaled-recurrence reformulation — X' = X/qi, Y' = Y/qd with
+    telescoped coefficients — lived here r4-r5 behind an opt-in flag;
+    it measured 5-14% SLOWER on hardware and was deleted per contract.
+    Post-mortem: DESIGN.md §3b/§4; full code at git tag r4 8431b4b.)"""
     nxs, L = qr.shape
     ii = jax.lax.broadcasted_iota(jnp.int32, (nxs, L), 0)
     row0 = ii == 0
@@ -384,14 +360,7 @@ def phmm_make_consts(rchar, qr, mmv, gapm, qi, qd, qg, rl, hl, window,
     # emission would otherwise make pad rows transparent (p = 1-qr = 1).
     dead = row0 | (ii > rl)
     rn = rchar == (15 if bitmask else _N_CODE)
-    bx = gy = qgx = None
     qgp = jnp.where(row0, 1.0, qg)
-    if scaled:
-        qi1, qd1 = roll1(qi), roll1(qd)
-        bx = gapm * qi1
-        gy = gapm * jnp.where(ii == 1, 1.0, qd1)
-        qgx = jnp.where(qi > 0.0, qgp * qi1 / jnp.where(qi > 0.0, qi, 1.0),
-                        0.0)
     return PhmmConsts(
         rchar=rchar,
         bitmask=bitmask,
@@ -411,10 +380,6 @@ def phmm_make_consts(rchar, qr, mmv, gapm, qi, qd, qg, rl, hl, window,
         ii=ii,
         window=window,
         roll1=roll1,
-        scaled=scaled,
-        bx=bx,
-        gy=gy,
-        qgx=qgx,
     )
 
 
@@ -473,17 +438,9 @@ def phmm_step(d, state, c: PhmmConsts):
         match = (c.rchar == hw) | (hw == _N_CODE)
     p = jnp.where(match, c.pm, c.qr)
 
-    if c.scaled:
-        # Scaled recurrence (phmm_make_consts docstring): X'/Y' carry
-        # 1/qi, 1/qd per-row factors, telescoped into consts — X and Y
-        # drop their M-multiply; M splits its gapm coefficient.
-        Mn = p * (c.mmv * M2s + (c.bx * X2s + c.gy * Y2s))
-        Xn = M1s + X1s * c.qgx
-        Yn = M1 + Y1 * c.qg  # row-0 const persists via qg[0]=1
-    else:
-        Mn = p * (c.mmv * M2s + c.gapm * (X2s + Y2s))
-        Xn = M1s * c.qi + X1s * c.qg
-        Yn = M1 * c.qd + Y1 * c.qg  # row-0 const persists via qg[0]=1
+    Mn = p * (c.mmv * M2s + c.gapm * (X2s + Y2s))
+    Xn = M1s * c.qi + X1s * c.qg
+    Yn = M1 * c.qd + Y1 * c.qg  # row-0 const persists via qg[0]=1
 
     # Last-row likelihood accumulation (antidiagsPairHMM.c:206-212): the
     # cell (read_len, j) lands at sublane rl exactly once per diagonal,
@@ -510,8 +467,7 @@ def phmm_step(d, state, c: PhmmConsts):
     # acc/accb must read them through a select (never a multiply —
     # 0*inf = NaN) or this invariant breaks silently.
     gate = jnp.asarray(d, jnp.int32) <= c.rlhl
-    contrib = Mn + c.qi * Xn if c.scaled else Mn + Xn
-    accb = accb + jnp.where(gate, contrib, 0.0)
+    accb = accb + jnp.where(gate, Mn + Xn, 0.0)
 
     return (
         Mn,
@@ -634,7 +590,6 @@ def phmm_forward_dense(
     rescale_period: int = 32,
     mm_div: float = 1.0,
     bitmask: bool = False,
-    scaled: bool = False,
 ):
     """Pure-JAX batched PairHMM forward (the 'lax' backend).
 
@@ -649,7 +604,7 @@ def phmm_forward_dense(
     c = phmm_make_consts(
         rchar, qr, mmv, gapm, qi, qd, qg,
         rl.reshape(1, L), hl.reshape(1, L), window, roll1, mm_div,
-        bitmask=bitmask, scaled=scaled,
+        bitmask=bitmask,
     )
 
     def body(d, state):

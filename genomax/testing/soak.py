@@ -87,11 +87,7 @@ def run_soak(rounds: int = 60, seed: int = 20260817, backend: str = "pallas",
                 return 1
         else:  # PairHMM round
             gatk = rng.random() < 0.5
-            # scaled recurrence joins the rotation (r4, VERDICT ask #6):
-            # opt-in flag, so the soak is its gate before any routing.
-            scaled = rng.random() < 0.5
-            pcfg = PairHMMConfig(gatk_emission=gatk,
-                                 scaled_recurrence=scaled)
+            pcfg = PairHMMConfig(gatk_emission=gatk)
             nr, nh = int(rng.integers(1, 5)), int(rng.integers(1, 4))
             rl_hi = int(rng.integers(10, min(260, max_len)))
             hl_hi = int(rng.integers(10, min(400, max_len)))
@@ -116,7 +112,6 @@ def run_soak(rounds: int = 60, seed: int = 20260817, backend: str = "pallas",
             nan_ok = (bool(np.all(~np.isfinite(got[~finite])))
                       if (~finite).any() else True)
             stat = (f"PHMM {nr}x{nh} rl<={rl_hi} hl<={hl_hi} gatk={gatk} "
-                    f"scaled={scaled} "
                     f"err={worst:.1e} fb={e.last_stats.fallback_jobs}")
             if worst > 2e-4 or not nan_ok:
                 log(f"round {rd_i}: {stat} FAIL")
@@ -168,12 +163,7 @@ def run_deep_soak(rounds: int = 16, seed: int = 3_2026,
                 if len(a) > len(b):
                     a, b = b, a
                 pairs.append(SWPair(sx=a, sy=b))
-            scaled = rng.random() < 0.5  # scaled recurrence in rotation
-            from genomax.config import PairHMMConfig
-
             dist = ShardedEngine(mesh, EngineConfig(backend=backend),
-                                 phmm_cfg=PairHMMConfig(
-                                     scaled_recurrence=scaled),
                                  interpret=interpret)
             got = dist.sw_scores(pairs)
             want = oracle.sw_scores_pairs(pairs)
@@ -197,7 +187,6 @@ def run_deep_soak(rounds: int = 16, seed: int = 3_2026,
                 log(f"round {rd_i}: SHARDED PHMM err={worst:.1e} FAIL")
                 return 1
             stat = (f"SHARDED-{devices}dev sw n={len(pairs)} phmm {nr}x{nh} "
-                    f"scaled={scaled} "
                     f"err={worst:.1e} gcups={dist.last_stats.gcups:.1f}")
         else:  # (b) pairhmm_long adversarial rescale patterns
             L = int(rng.integers(long_rows[0], long_rows[1] + 1))

@@ -324,17 +324,24 @@ def test_probe_timeout_abandons_child():
     assert msgs[0].startswith("TPU probe:")
 
 
-def test_cli_pairhmm_resume_scaled_mismatch_restarts(tmp_path, phmm_file,
-                                                     capsys):
-    """scaled_recurrence is part of the resume fingerprint (r4 review):
-    classic-step and scaled-step values differ inside the fp32
-    envelope, so a checkpoint must not silently resume across the
-    flag flip."""
+def test_cli_pairhmm_resume_stale_scaled_manifest_restarts(tmp_path,
+                                                           phmm_file,
+                                                           capsys):
+    """A checkpoint manifest written by the r4-r5 scaled-recurrence
+    step (flag deleted r5, DESIGN §3b) must NOT silently resume: its
+    outputs differ from the classic step inside the fp32 envelope."""
+    import json as _json
+
     res = str(tmp_path / "res.out")
     rc = main(["pairhmm", phmm_file, res, "--resume", "--backend", "lax"])
     assert rc == 0
+    manifest = res + ".progress.json"
+    with open(manifest) as f:
+        m = _json.load(f)
+    m["config"]["scaled_recurrence"] = True  # as the r4-r5 CLI wrote it
+    with open(manifest, "w") as f:
+        _json.dump(m, f)
     capsys.readouterr()
-    rc = main(["pairhmm", phmm_file, res, "--resume", "--backend", "lax",
-               "--scaled-recurrence"])
+    rc = main(["pairhmm", phmm_file, res, "--resume", "--backend", "lax"])
     assert rc == 0
     assert "different scoring config" in capsys.readouterr().err

@@ -448,60 +448,3 @@ def test_expand_byte_quals_rejects_offset_below_one():
         expand_byte_quals(jnp.asarray(qb), phred_offset=0.0)
 
 
-@pytest.fixture(scope="module")
-def eng_scaled():
-    from genomax.config import PairHMMConfig
-
-    return Engine(EngineConfig(backend="pallas"),
-                  phmm_cfg=PairHMMConfig(scaled_recurrence=True),
-                  interpret=True)
-
-
-def test_pairhmm_scaled_interpret_vs_oracle(eng_scaled):
-    """Scaled recurrence (PairHMMConfig.scaled_recurrence, DESIGN §3b)
-    through the REAL Pallas kernel path: must stay inside the classic
-    form's fp32 envelope vs the fp64 oracle."""
-    for seed, fh in ((8, False), (9, True)):
-        batch = generate_pairhmm_batch(3, 2, read_len=17, hap_len=25,
-                                       seed=seed, from_haps=fh)
-        got = eng_scaled.pairhmm([batch])
-        want = oracle.pairhmm_batch_log10(batch)
-        np.testing.assert_allclose(got, want, atol=2e-4)
-
-
-def test_pairhmm_scaled_extreme_qual_spread(eng_scaled):
-    """The scaled form's one new numeric lever: X' = X/qi runs up to
-    1/qi above the classic values, and the qgx carry const is the
-    RATIO qi_{i-1}/qi_i. Alternate Q5 / Q45 rows so adjacent ratios
-    span 1e-4..1e4 — the worst case for the telescoped consts — and
-    check against the oracle."""
-    from genomax.io.formats import PairHMMBatch, PairHMMRead
-
-    rng = np.random.default_rng(21)
-    L = 60
-    bases = rng.choice(list(b"ATGC"), L).astype(np.uint8).tobytes()
-    q = np.where(np.arange(L) % 2 == 0, 33 + 5, 33 + 45).astype(np.uint8)
-    rd = PairHMMRead(bases=bases, base_q=q.tobytes(), ins_q=q.tobytes(),
-                     del_q=q[::-1].tobytes(), gcp_q=q.tobytes())
-    hap = rng.choice(list(b"ATGC"), 90).astype(np.uint8).tobytes()
-    # near-match second hap: keeps the result in the fp32 range where
-    # the 2e-4 gate is armed (the deep-soak seam-adversary lesson)
-    hap2 = bytearray(bases * 2)[:90]
-    hap2[30] = ord("T") if hap2[30] != ord("T") else ord("A")
-    batch = PairHMMBatch(reads=[rd], haplotypes=[hap, bytes(hap2)])
-    got = eng_scaled.pairhmm([batch])
-    want = oracle.pairhmm_batch_log10(batch)
-    live = want > -40
-    assert live.any()
-    np.testing.assert_allclose(got[live], want[live], atol=2e-4)
-
-
-def test_pairhmm_scaled_streamed_interpret(eng_scaled):
-    """Scaled recurrence through the HBM-streamed kernel variant (long
-    haplotype forces the stream routing)."""
-    batch = generate_pairhmm_batch(2, 1, read_len=14, hap_len=20, seed=31)
-    eng = Engine(EngineConfig(backend="pallas", stream_vmem_rows=64),
-                 phmm_cfg=eng_scaled.phmm_cfg, interpret=True)
-    got = eng.pairhmm([batch])
-    want = oracle.pairhmm_batch_log10(batch)
-    np.testing.assert_allclose(got, want, atol=2e-4)
