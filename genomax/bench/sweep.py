@@ -80,6 +80,22 @@ def bench_sw_point(length: int, num_alignments: int, unroll: int, backend: str,
                         *a, unroll=unroll, **s)
                 )
                 continue
+            from genomax.kernels.sw_rotor import (
+                maybe_prep_rotor,
+                sw_forward_pallas_rotor_bucket,
+            )
+
+            rprep = maybe_prep_rotor(eng.cfg, b)
+            if rprep is not None:
+                (xrev, ybuf), statics = rprep
+                dev = (jnp.asarray(xrev), jnp.asarray(ybuf))
+                # the rotor picks its own unroll (a divisor of the
+                # period); the sweep's unroll knob does not apply
+                runs.append(
+                    lambda a=dev, s=statics:
+                    sw_forward_pallas_rotor_bucket(*a, **s)
+                )
+                continue
             from genomax.kernels.sw_pallas import sw_forward_pallas_streamed
 
             fn = (sw_forward_pallas_streamed

@@ -150,6 +150,19 @@ class EngineConfig:
     # 0/1 disables.
     sw_stack: int = 0
     stack_max_nxs: int = 96
+    # Column-stationary rotor for SHORT pairs (kernels/sw_rotor.py):
+    # buckets small enough that the whole pair fits a rotor period
+    # (T = round_up(max(nx, ny) + 1, 8) <= rotor_max_period) and that
+    # the strips router declined re-pack into per-lane pair queues
+    # where physical sublane p always computes matrix column p+1 — the
+    # anti-diagonal triangle waste (2.2x at 64bp) collapses to
+    # (T/len)^2 (~1.27x). Measured r5 on v5e by slope: 144 vs 99
+    # GCUPS at 64bp vs the resident kernel in the same session.
+    # Explicitly opting into sw_stack >= 2 bypasses the rotor (the
+    # stacked path is the kept-unrouted experiment; see DESIGN.md §4).
+    sw_rotor: bool = True
+    rotor_max_period: int = 136
+    rotor_max_slots: int = 32
     # Cross-chip wavefront routing (ShardedEngine only): offloaded SW
     # pairs whose x length is at least this many bases score through
     # sw_forward_xsharded — ONE DP matrix split into per-device strips

@@ -193,9 +193,12 @@ class ShardedEngine:
             # Same kernel routing as the local engine: mid/large buckets
             # ride the strip-mined kernel inside shard_map.
             strips = None
+            rotor = None
             nyt = None
             sxa = b.sx
+            sya = b.sy
             if self.backend == "pallas":
+                from genomax.kernels.sw_rotor import maybe_prep_rotor
                 from genomax.kernels.sw_strips import maybe_prep_strips
 
                 prep = maybe_prep_strips(self.cfg, b)
@@ -203,6 +206,16 @@ class ShardedEngine:
                     (sxa, _, _, nyt_arr), st = prep
                     strips = (st["k_strips"], st["strip_w"], st["anchor"])
                     nyt = nyt_arr
+                else:
+                    # same short-bucket routing as the local engine:
+                    # the column-stationary rotor (kernels/sw_rotor.py),
+                    # re-tiled so the rotor tile count divides the mesh
+                    rprep = maybe_prep_rotor(self.cfg, b,
+                                             n_shards=self.n_devices)
+                    if rprep is not None:
+                        (sxa, sya), st = rprep
+                        rotor = (st["period"], st["n_slots"],
+                                 st["anchor"], st["unroll"])
             # Nibble-compressed transfer, same contract as the local
             # engine: ship 4-bit codes, expand AFTER placement —
             # elementwise, so it runs SPMD on the tile-sharded array
@@ -215,10 +228,10 @@ class ShardedEngine:
 
                 ship = make_shipper(self._put,
                                     lut=build_code_lut(sxa,
-                                                       stream_bytes(b.sy)))
+                                                       stream_bytes(sya)))
             return sw_forward_sharded(
                 ship(sxa),
-                ship_stream(ship, b.sy),
+                ship_stream(ship, sya),
                 self._put(b.nx.reshape(-1, 128)).reshape(-1),
                 self._put(b.ny.reshape(-1, 128)).reshape(-1),
                 self._put(b.ndiag_tile),
@@ -230,6 +243,7 @@ class ShardedEngine:
                 interpret=self.interpret,
                 stream_vmem_rows=self.cfg.stream_vmem_rows,
                 strips=strips,
+                rotor=rotor,
                 nyt_tile=None if nyt is None else self._put(nyt),
             )
 

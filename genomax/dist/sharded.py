@@ -30,12 +30,13 @@ from genomax.engine.executor import flatten_tiles
     jax.jit,
     static_argnames=(
         "mesh", "n_diags", "cfg", "unroll", "backend", "interpret",
-        "stream_vmem_rows", "strips",
+        "stream_vmem_rows", "strips", "rotor",
     ),
 )
 def sw_forward_sharded(
-    sx,  # (NT, NXs, 128) — K*W rows when strips is set
-    sy,  # (NT, NDs, 128)
+    sx,  # (NT, NXs, 128) — K*W rows when strips is set; the rotor's
+    # (NT_r, NB, 128) xrev stream when rotor is set
+    sy,  # (NT, NDs, 128) — the rotor's (NT_r, NY, 128) ybuf when set
     nx,
     ny,
     ndiag_tile,  # (NT,)
@@ -50,6 +51,9 @@ def sw_forward_sharded(
     strips: tuple | None = None,  # (k_strips, strip_w, anchor) from
     # sw_strips.prep_bucket_strips; ny then carries the per-tile max-ny
     nyt_tile=None,  # (NT,) int32 when strips is set
+    rotor: tuple | None = None,  # (period, n_slots, anchor, unroll)
+    # from sw_rotor.prep_bucket_rotor; sx/sy then carry xrev/ybuf and
+    # the prep guarantees the rotor tile count divides the mesh
 ):
     """Batched SW over a device mesh. The tile dimension (and the per-tile
     diagonal counts) are sharded along the data axis; every chip returns
@@ -66,7 +70,17 @@ def sw_forward_sharded(
             )
             from genomax.kernels.sw_strips import sw_forward_pallas_strips
 
-            if strips is not None:
+            if rotor is not None:
+                from genomax.kernels.sw_rotor import (
+                    sw_forward_pallas_rotor_bucket,
+                )
+
+                T_, P_, A_, u_ = rotor
+                local = sw_forward_pallas_rotor_bucket(
+                    sx_s, sy_s, cfg=cfg, period=T_, n_slots=P_,
+                    anchor=A_, unroll=u_, interpret=interpret,
+                )
+            elif strips is not None:
                 k_strips, strip_w, anchor = strips
                 local = sw_forward_pallas_strips(
                     sx_s, sy_s, nd_s, nyt_s,

@@ -295,7 +295,27 @@ class Engine:
                     interpret=self.interpret,
                     **statics,
                 )
-            # Short buckets (the step-overhead-bound regime): stack
+            # Short buckets: the column-stationary rotor queues pairs
+            # per lane so the anti-diagonal triangle waste collapses
+            # to (T/len)^2 (kernels/sw_rotor.py; measured +45% over
+            # the resident kernel at 64bp). Output rows come back in
+            # bucket tile order, so unpack_scores needs no change.
+            from genomax.kernels.sw_rotor import (
+                maybe_prep_rotor,
+                sw_forward_pallas_rotor_bucket,
+            )
+
+            rprep = maybe_prep_rotor(self.cfg, b)
+            if rprep is not None:
+                (xrev, ybuf), statics = rprep
+                return sw_forward_pallas_rotor_bucket(
+                    ship(xrev),
+                    ship(ybuf),
+                    cfg=self.sw_cfg,
+                    interpret=self.interpret,
+                    **statics,
+                )
+            # Explicit sw_stack >= 2 opt-in (bypasses the rotor): stack
             # cfg.sw_stack tiles deep along the sublane axis so the
             # per-step floor amortizes over the stack
             # (kernels/sw_stacked.py; flat slot order is preserved, so

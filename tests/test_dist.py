@@ -204,6 +204,35 @@ def test_sharded_engine_strips_routing_interpret(mesh):
     np.testing.assert_array_equal(got, oracle.sw_scores_pairs(pairs))
 
 
+def test_sharded_engine_rotor_routing_interpret(mesh):
+    """The sharded SW path routes short square-ish buckets through the
+    column-stationary rotor inside shard_map, like the local engine —
+    the rotor prep re-tiles so its tile count divides the mesh, and
+    the all-gathered (nt_r * P, 128) rows land in bucket tile order."""
+    from genomax.config import EngineConfig
+    from genomax.dist.engine import ShardedEngine
+    from genomax.kernels.sw_rotor import maybe_prep_rotor
+    from genomax.pack.bucketing import pack_sw_pairs
+
+    rng = np.random.default_rng(37)
+    abc = np.frombuffer(b"ATGC", np.uint8)
+    pairs = []
+    for _ in range(300):
+        a = rng.choice(abc, int(rng.integers(3, 60))).tobytes()
+        b = rng.choice(abc, int(rng.integers(3, 60))).tobytes()
+        pairs.append(SWPair(sx=a, sy=b))
+    s = rng.choice(abc, 50).tobytes()
+    pairs.append(SWPair(sx=s, sy=s))
+    cfg = EngineConfig(backend="pallas")
+    assert any(
+        maybe_prep_rotor(cfg, b, n_shards=8) is not None
+        for b in pack_sw_pairs(pairs)
+    )
+    dist = ShardedEngine(mesh, cfg, interpret=True)
+    got = dist.sw_scores(pairs)
+    np.testing.assert_array_equal(got, oracle.sw_scores_pairs(pairs))
+
+
 def test_sharded_engine_exactly_full_bucket(mesh):
     """Regression: pad_tiles_to must never pad perm/n_valid — a bucket of
     exactly 128 pairs (one full tile) used to crash unpack_scores."""

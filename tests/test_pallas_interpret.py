@@ -288,6 +288,90 @@ def test_sw_conveyor_kernel_interpret():
     np.testing.assert_array_equal(got2, oracle.sw_scores_pairs(pairs, cfg))
 
 
+def test_sw_rotor_kernel_interpret():
+    """The column-stationary rotor kernel (kernels/sw_rotor.py) vs the
+    oracle: ragged queues, identical/all-mismatch/tiny pairs, both
+    unrolls, non-default scoring, and two directed adversaries against
+    its moving wrap-row boundary — (a) queue-leak: a maximum-scoring
+    pair directly ahead of an all-mismatch pair in the same lane queue
+    (any P/Q/D chain crossing the r=0 slot scores a false positive;
+    the all-mismatch score must be exactly 0), (b) period-edge pairs
+    at nx = ny = T-1 stressing the fixed row-T-1 column pins."""
+    from genomax.config import SWConfig
+    from genomax.kernels.sw_rotor import sw_scores_rotor
+
+    rng = np.random.default_rng(7)
+    abc = np.frombuffer(b"ATGC", np.uint8)
+
+    def mk(lo, hi):
+        a = rng.choice(abc, int(rng.integers(lo, hi))).tobytes() + b"\n"
+        b = rng.choice(abc, int(rng.integers(lo, hi))).tobytes() + b"\n"
+        return SWPair(sx=a, sy=b)
+
+    pairs = [mk(3, 60) for _ in range(40)]
+    s = rng.choice(abc, 50).tobytes()
+    pairs[5] = SWPair(sx=s, sy=s)
+    pairs[9] = SWPair(sx=b"A" * 30, sy=b"T" * 55)
+    pairs[13] = SWPair(sx=b"A", sy=b"ACGT")
+    got = sw_scores_rotor(pairs, max_slots=3, interpret=True)
+    np.testing.assert_array_equal(got, oracle.sw_scores_pairs(pairs))
+
+    cfg = SWConfig(match=2, mismatch=-3, gap_open=0, gap_extend=-1)
+    got2 = sw_scores_rotor(pairs, cfg=cfg, max_slots=2, unroll=16,
+                           interpret=True)
+    np.testing.assert_array_equal(got2, oracle.sw_scores_pairs(pairs, cfg))
+
+    # directed wrap-row adversaries (period T = 64 here)
+    leak = []
+    g = rng.choice(abc, 63).tobytes()
+    for _ in range(16):
+        leak.append(SWPair(sx=g, sy=g))
+        leak.append(SWPair(sx=b"A" * 63, sy=b"T" * 63))
+    leak = leak * 9  # 288 pairs -> multi-slot queues (P=3)
+    got3 = sw_scores_rotor(leak, max_slots=4, interpret=True)
+    np.testing.assert_array_equal(got3, oracle.sw_scores_pairs(leak))
+    assert (got3[1::2] == 0).all()
+
+
+def test_sw_rotor_engine_routing():
+    """The engine routes short square-ish buckets through the rotor
+    (differentially correct end-to-end incl. the bucket re-packer and
+    the p8->P output compaction), and the geometry gate declines
+    ragged short-x/long-y buckets where the resident kernel's smaller
+    window wins (1.5*T^2 vs nxs*nd model, measured r5)."""
+    from genomax.config import EngineConfig
+    from genomax.engine.executor import Engine
+    from genomax.kernels.sw_rotor import maybe_prep_rotor
+    from genomax.pack.bucketing import pack_sw_pairs
+
+    rng = np.random.default_rng(11)
+    abc = np.frombuffer(b"ATGC", np.uint8)
+    pairs = [
+        SWPair(sx=rng.choice(abc, int(rng.integers(3, 90))).tobytes()
+               + b"\n",
+               sy=rng.choice(abc, int(rng.integers(3, 90))).tobytes()
+               + b"\n")
+        for _ in range(300)
+    ]
+    cfg = EngineConfig(backend="pallas")
+    buckets = pack_sw_pairs(pairs)
+    assert any(maybe_prep_rotor(cfg, b) is not None for b in buckets)
+    e = Engine(cfg, interpret=True)
+    got = e.sw_scores(pairs)
+    np.testing.assert_array_equal(got, oracle.sw_scores_pairs(pairs))
+
+    ragged = [SWPair(sx=b"ACGT" * 10 + b"\n",
+                     sy=rng.choice(abc, 120).tobytes() + b"\n")
+              for _ in range(8)]
+    for b in pack_sw_pairs(ragged):
+        assert maybe_prep_rotor(cfg, b) is None
+    # sw_stack opt-in bypasses the rotor (the stacked path stays
+    # reachable for its differential tests)
+    scfg = EngineConfig(backend="pallas", sw_stack=2)
+    for b in buckets:
+        assert maybe_prep_rotor(scfg, b) is None
+
+
 def test_sw_stacked_kernel_interpret():
     """The sublane-stacked short-pair kernel vs the oracle: random
     ragged pairs across multiple stacked tiles, plus the ghost-read
