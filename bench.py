@@ -32,7 +32,9 @@ r4 kill at ~1750 s): probe ≤420 s + per-process init ≤290 s + concurrent
 compiles ~390 s (r1/r2 measured 383 s joined) + 65k pack/put ~30 s +
 headline timed loops ~40 s ≈ 1170 s to the JSON line — inside both the
 1500 s watchdog and the driver window with ≥250 s slack. Secondary
-points after the JSON line are trimmed when < 180 s of deadline remain.
+points after the JSON line are trimmed when < 180 s of deadline remain
+(the r5 rotor 64bp point adds one ~1 s compile + sub-second loops,
+inside the same trim gate).
 """
 
 from __future__ import annotations
@@ -553,6 +555,55 @@ def main():
         pass
     except Exception as e:
         log(f"SW long secondary failed: {e!r}")
+
+    # ---- secondary: short-pair rotor point (the reference GPU's worst
+    # regime, hiprun.sh LEN=64: 25.3 GCUPS best; the column-stationary
+    # rotor kernel runs ~5x that — kernels/sw_rotor.py) ----
+    try:
+        check_budget("SW rotor 64bp point")
+        from genomax.kernels.sw_rotor import (
+            maybe_prep_rotor,
+            sw_forward_pallas_rotor_bucket,
+        )
+        from genomax.pack.bucketing import pack_sw_pairs
+
+        rng = np.random.default_rng(7)
+        rn, rl = (128, 24) if tiny else (25000, 64)
+        rpairs = [
+            SWPair(sx=random_dna(rng, rl) + b"\n",
+                   sy=random_dna(rng, rl) + b"\n")
+            for _ in range(rn)
+        ]
+        (rb,) = pack_sw_pairs(rpairs)
+        rprep = maybe_prep_rotor(eng.cfg, rb)
+        if rprep is None:
+            raise RuntimeError("rotor declined the 64bp bucket")
+        (rxrev, rybuf), rstat = rprep
+        rdev = (jnp.asarray(rxrev), jnp.asarray(rybuf))
+
+        def fenced_r(k):
+            best = float("inf")
+            for _ in range(4):
+                t0 = time.time()
+                for _ in range(k - 1):
+                    sw_forward_pallas_rotor_bucket(
+                        *rdev, interpret=interp, **rstat)
+                np.asarray(sw_forward_pallas_rotor_bucket(
+                    *rdev, interpret=interp, **rstat))
+                best = min(best, time.time() - t0)
+            return best
+
+        fenced_r(1)  # compile + warm
+        tr1, tr9 = fenced_r(1), fenced_r(9)
+        bestr = max((tr9 - tr1) / 8, 1e-9)
+        rc_cells = rn * (rl + 1) * (rl + 1)
+        log(f"SW rotor {rn} x {rl}bp: {bestr*1e3:.2f} ms kernel-only "
+            f"slope = {rc_cells/bestr/1e9:.1f} GCUPS (ref GPU best at "
+            f"64bp: 4.04 ms/25k = 25.3 GCUPS)")
+    except _BudgetSkip:
+        pass
+    except Exception as e:
+        log(f"SW rotor secondary failed: {e!r}")
 
 
 if __name__ == "__main__":

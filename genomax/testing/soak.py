@@ -58,6 +58,12 @@ def run_soak(rounds: int = 60, seed: int = 20260817, backend: str = "pallas",
                 gap_open=-int(rng.integers(0, 6)),
                 gap_extend=-int(rng.integers(1, 4)))
             lo, hi = sorted(rng.integers(1, max_len, size=2) + [0, 2])
+            if rd_i % 6 == 1:
+                # pin a steady share of rounds to the short regime so
+                # the rotor kernel (routed below ~128bp) soaks every
+                # campaign — a uniform [1, max_len) draw lands there
+                # only ~3% of the time
+                lo, hi = sorted(rng.integers(1, 110, size=2) + [0, 2])
             alphabet = _ABCN if rd_i % 4 == 0 else _ABC4
             pairs = []
             for _ in range(int(rng.integers(8, 40))):
